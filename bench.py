@@ -1,0 +1,122 @@
+"""Benchmark: episodes/sec/chip on the flagship eval path.
+
+Measures the BASELINE.json north-star metric — 5-way 5-shot 8-frame episodic
+inference (device transform + CLIP backbone + CLIP-SPM head + logits) on one
+chip, bf16, randomly initialised weights, synthetic episodes (pre-staged on
+device so the number isolates the compute path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline``: the reference publishes no throughput numbers (BASELINE.md)
+and its CLIP heads cannot run in this environment (hard ``.cuda()`` calls +
+checkpoint download at init; reference: models/model_clipspm.py:19,26). The
+baseline is therefore this repo's first recorded measurement
+(bench_baseline.json, written on first run) so later rounds report progress
+against round 1.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+    from clipspm_tpu.data import SyntheticEpisodeSource
+    from clipspm_tpu.data.transforms import episode_device_transform
+    from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
+    from clipspm_tpu.models.fsar import CLIPSPMModel
+    from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
+
+    way, shot, queries, T, img = 5, 5, 1, 8, 224
+    arch = CLIP_ARCHS["ViT-B/16"]
+    model = CLIPSPMModel(arch=arch, way=way, shot=shot,
+                         spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16)
+    S, Q, D = way * shot, way * queries, arch.embed_dim
+
+    rng = jax.random.PRNGKey(0)
+    dummy = (
+        jnp.zeros((S, T, img, img, 3), jnp.bfloat16),
+        jnp.zeros((Q, T, img, img, 3), jnp.bfloat16),
+        jnp.arange(S, dtype=jnp.int32) % way,
+        jnp.zeros((S, 1, D), jnp.bfloat16),
+        jnp.zeros((Q, 1, D), jnp.bfloat16),
+    )
+    variables = model.init(rng, *dummy)
+
+    text = jax.random.normal(jax.random.PRNGKey(1), (16, D), jnp.bfloat16)
+
+    @jax.jit
+    def eval_episode(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
+                     key):
+        sup = episode_device_transform(sup_u8, key, train=False,
+                                       img_size=img, resize_to=256,
+                                       dtype=jnp.bfloat16)
+        tgt = episode_device_transform(tgt_u8, key, train=False,
+                                       img_size=img, resize_to=256,
+                                       dtype=jnp.bfloat16)
+        cs = text[real_sup][:, None, :]
+        tc = text[real_tgt][:, None, :]
+        out = model.apply(variables, sup, tgt, sup_labels, cs, tc,
+                          train=False)
+        return out["logits"]
+
+    src = SyntheticEpisodeSource(way=way, shot=shot, queries=queries,
+                                 seq_len=T, img_size=256, num_classes=16)
+    n_staged = 4
+    episodes = []
+    for _ in range(n_staged):
+        ep = src.sample()
+        episodes.append(tuple(jax.device_put(x) for x in (
+            ep.support_images, ep.target_images, ep.support_labels,
+            ep.real_support_labels, ep.real_target_labels)))
+
+    key = jax.random.PRNGKey(2)
+    # warmup / compile
+    eval_episode(variables, *episodes[0], key).block_until_ready()
+
+    n_iters = 10 if quick else 50
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        t1 = time.perf_counter()
+        eval_episode(variables, *episodes[i % n_staged],
+                     key).block_until_ready()
+        lat.append(time.perf_counter() - t1)
+    total = time.perf_counter() - t0
+    eps_per_sec = n_iters / total
+    p50_ms = float(np.median(lat) * 1e3)
+    frames_per_sec = eps_per_sec * (S + Q) * T
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = eps_per_sec
+        with open(baseline_path, "w") as f:
+            json.dump({"metric": "episodes/sec/chip", "value": eps_per_sec,
+                       "recorded": time.strftime("%Y-%m-%d"),
+                       "note": "first measured value (round 1); reference "
+                               "publishes no throughput numbers"}, f)
+
+    print(json.dumps({
+        "metric": "episodes/sec/chip (5w5s 8f ViT-B/16 eval)",
+        "value": round(eps_per_sec, 3),
+        "unit": "episodes/s",
+        "vs_baseline": round(eps_per_sec / baseline, 3),
+        "extras": {"p50_episode_latency_ms": round(p50_ms, 2),
+                   "frames_per_sec": round(frames_per_sec, 1),
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

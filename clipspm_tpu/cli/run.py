@@ -1,0 +1,77 @@
+"""Config-driven entry point (reference: run/run.py + run/main_run.py CLI).
+
+Usage:
+    python -m clipspm_tpu.cli.run --cfg configs/clipspm/hmdb.yaml \
+        [TRAIN.WAY=5 SOLVER.LR=1e-5 ...]
+
+Unlike the reference, the trailing ``KEY.PATH=value`` overrides are actually
+applied (the reference parses but ignores them; utils/config.py:52-57), and
+checkpoints go through orbax without ever deleting an existing directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="clipspm_tpu runner")
+    p.add_argument("--cfg", dest="cfg_file", required=True,
+                   help="path to the model/dataset YAML")
+    p.add_argument("--base", dest="base_file", default=None,
+                   help="path to base.yaml (defaults to configs/base.yaml)")
+    p.add_argument("--splits-root", default=None,
+                   help="directory containing the splits/ tree")
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="KEY.PATH=value overrides")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from clipspm_tpu.utils.config import load_config
+    from clipspm_tpu.train.setup import build_learner
+    from clipspm_tpu.train.checkpoint import CheckpointManager
+
+    cfg = load_config(args.cfg_file, base_path=args.base_file,
+                      opts=[o for o in args.opts if "=" in o],
+                      splits_root=args.splits_root)
+
+    ckpt_dir = cfg.CHECKPOINT.CHECKPOINT_DIR
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logfile = open(os.path.join(ckpt_dir, "log.txt"), "a")
+
+    def log(msg: str):
+        print(msg)
+        logfile.write(f"{time.strftime('%m/%d/%Y %H:%M:%S')} {msg}\n")
+        logfile.flush()
+
+    log(f"Options: {cfg.dump()}")
+    learner = build_learner(cfg, log_fn=log)
+    manager = CheckpointManager(ckpt_dir)
+
+    if cfg.CHECKPOINT.get("RESUME_FROM_CHECKPOINT", False) \
+            and manager.exists("best"):
+        payload = manager.restore("best", learner.state)
+        learner.state = payload["state"]
+        log(f"Resumed from episode {int(payload['meta']['iteration'])}")
+
+    if cfg.TEST.ONLY_TEST:
+        log("Conduct Testing:")
+        if manager.exists("best"):
+            learner.state = manager.restore("best", learner.state)["state"]
+        res = learner.evaluate(int(cfg.TEST.TEST_EPISODES))
+        log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "
+            f"+/- {res['confidence']:.2f} (loss {res['loss']:.4f})")
+    else:
+        log("Conduct Training:")
+        learner.run(checkpoint_fn=lambda ep, acc: manager.save(
+            learner.state, "best", best_acc=acc))
+    logfile.close()
+
+
+if __name__ == "__main__":
+    main()

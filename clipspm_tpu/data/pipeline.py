@@ -1,0 +1,99 @@
+"""Host-side episode loader: plan -> threaded JPEG decode -> uint8 batches.
+
+Replaces the reference's fork-per-worker ``DataLoader(batch_size=1)`` whose
+workers decode + transform with PIL per video (reference:
+run/main_run.py:71, video_reader.py:264-273). Here workers only *decode*
+(crop/flip/scale run fused on device, data/transforms.py); a thread pool
+prefetches episodes ahead of the training loop so the accelerator never waits
+on IO.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .episode import Episode
+from .sampler import EpisodePlan, EpisodeSampler
+from .splits import SplitCatalog
+
+
+def _decode_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im.load()
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im, dtype=np.uint8)
+
+
+def decode_plan(plan: EpisodePlan, catalog: SplitCatalog,
+                pool: Optional[cf.ThreadPoolExecutor] = None) -> Episode:
+    """Decode every frame of an episode plan into a uint8 Episode."""
+    sup_paths = plan.frame_paths(catalog, "support")
+    tgt_paths = plan.frame_paths(catalog, "target")
+
+    def decode_clips(path_lists: List[List[str]]) -> np.ndarray:
+        flat = [p for clip in path_lists for p in clip]
+        if pool is not None:
+            frames = list(pool.map(_decode_image, flat))
+        else:
+            frames = [_decode_image(p) for p in flat]
+        t = len(path_lists[0])
+        arr = np.stack(frames)
+        return arr.reshape((len(path_lists), t) + arr.shape[1:])
+
+    return Episode(
+        support_images=decode_clips(sup_paths),
+        support_labels=plan.support_labels,
+        target_images=decode_clips(tgt_paths),
+        target_labels=plan.target_labels,
+        real_support_labels=plan.real_support_labels,
+        real_target_labels=plan.real_target_labels,
+        batch_class_list=plan.batch_class_list,
+    )
+
+
+class EpisodeLoader:
+    """Prefetching episode stream over (sampler, catalog).
+
+    A sampler thread plans episodes; a decode pool turns plans into uint8
+    arrays; a bounded queue provides back-pressure. Iterating yields
+    ``Episode`` pytrees ready for ``jnp.asarray``.
+    """
+
+    def __init__(self, sampler: EpisodeSampler, num_workers: int = 8,
+                 prefetch: int = 4):
+        self.sampler = sampler
+        self.catalog = sampler.catalog
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self._queue: "queue.Queue[Episode]" = queue.Queue(self.prefetch)
+        self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _producer(self):
+        while not self._stop.is_set():
+            plan = self.sampler.sample()
+            ep = decode_plan(plan, self.catalog, self._pool)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(ep, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Episode]:
+        while True:
+            yield self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,409 @@
+"""CLIP backbones (RN50 ModifiedResNet + ViT-B/16 + text transformer) in flax.
+
+Fresh TPU-first implementation of the CLIP architecture family the reference
+vendors from OpenAI (reference: models/clip_fsar.py:396-821): NHWC layouts,
+bf16-friendly compute with fp32 LayerNorms (the reference's fp16-safe
+LayerNorm, models/clip_fsar.py:610-616), static shapes throughout, and
+batched text encoding (one jitted call over all prompts instead of the
+reference's per-class python loop, models/model_clipspm.py:53-70).
+
+Weights load from OpenAI checkpoints via ``torch_import.py`` (shape-inferred
+the same way as reference build_model, models/clip_fsar.py:233-270) or start
+randomly initialised when no checkpoint is available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPArch:
+    """Architecture hyperparameters, mirroring the constructor signature the
+    reference infers from checkpoint shapes (models/clip_fsar.py:691-706)."""
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Union[Tuple[int, int, int, int], int]
+    vision_width: int
+    vision_patch_size: Optional[int]
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    spatial: Union[bool, str] = False
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
+
+
+CLIP_ARCHS = {
+    # RN50: 1024-d embed (reference: models/model_clipspm.py:23 mid_dim=1024)
+    "RN50": CLIPArch(1024, 224, (3, 4, 6, 3), 64, None),
+    # ViT-B/16: 512-d embed (reference: models/model_clipspm.py:33 mid_dim=512)
+    "ViT-B/16": CLIPArch(512, 224, 12, 768, 16),
+    # tiny config for hermetic CPU tests
+    "test-tiny": CLIPArch(32, 32, 2, 64, 8, context_length=16, vocab_size=256,
+                          transformer_width=32, transformer_heads=2,
+                          transformer_layers=2),
+    "test-tiny-rn": CLIPArch(64, 32, (1, 1, 1, 1), 8, None, context_length=16,
+                             vocab_size=256, transformer_width=32,
+                             transformer_heads=2, transformer_layers=2),
+}
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) (reference: models/clip_fsar.py:618-620)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class FP32LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 and cast back (reference:
+    models/clip_fsar.py:610-616)."""
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        out = nn.LayerNorm(dtype=jnp.float32, name="ln")(x.astype(jnp.float32))
+        return out.astype(orig)
+
+
+# ---------------------------------------------------------------------------
+# ModifiedResNet visual tower
+# ---------------------------------------------------------------------------
+
+class Bottleneck(nn.Module):
+    """CLIP anti-aliased bottleneck: all convs stride 1; avgpool performs the
+    downsampling after conv2 and before the downsample conv
+    (reference: models/clip_fsar.py:502-547)."""
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        out_ch = self.planes * self.expansion
+        in_ch = x.shape[-1]
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=jnp.float32, name=name)
+        conv = lambda ch, k, name: nn.Conv(ch, (k, k), use_bias=False,
+                                           padding=[(k // 2, k // 2)] * 2,
+                                           dtype=self.dtype, name=name)
+        h = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
+        h = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(h)))
+        if self.stride > 1:
+            h = nn.avg_pool(h, (self.stride,) * 2, strides=(self.stride,) * 2)
+        h = bn("bn3")(conv(out_ch, 1, "conv3")(h))
+
+        identity = x
+        if self.stride > 1 or in_ch != out_ch:
+            identity = nn.avg_pool(x, (self.stride,) * 2,
+                                   strides=(self.stride,) * 2) \
+                if self.stride > 1 else x
+            identity = conv(out_ch, 1, "down_conv")(identity)
+            identity = bn("down_bn")(identity)
+        return nn.relu(h + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """Learned-positional-embedding MHA pooling (reference:
+    models/clip_fsar.py:396-500). ``spatial``: False -> pooled vector;
+    "v2" -> [cls] + value-projected token map; True -> full token
+    self-attention map.
+    """
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    spatial: Union[bool, str] = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [N, H, W, C] -> tokens [N, HW+1, C] with mean token prepended
+        N, H, W, C = x.shape
+        tokens = x.reshape(N, H * W, C)
+        mean_tok = tokens.mean(axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_tok, tokens], axis=1)
+        pos = self.param(
+            "positional_embedding",
+            lambda key, shape: jax.random.normal(key, shape) / self.embed_dim ** 0.5,
+            (self.spacial_dim ** 2 + 1, self.embed_dim))
+        tokens = tokens + pos[None].astype(tokens.dtype)
+
+        q_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")
+        k_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")
+        v_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")
+        c_proj = nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")
+
+        def mha(query, keys, values):
+            hd = self.embed_dim // self.num_heads
+            scale = hd ** -0.5
+
+            def split(t):
+                return t.reshape(t.shape[0], t.shape[1], self.num_heads,
+                                 hd).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = split(query), split(keys), split(values)
+            attn = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(
+                query.shape[0], query.shape[1], self.embed_dim)
+            return c_proj(out)
+
+        k = k_proj(tokens)
+        v = v_proj(tokens)
+        if self.spatial == "v2":
+            cls = mha(q_proj(tokens[:, :1]), k, v)
+            tok_map = c_proj(v[:, 1:])
+            return jnp.concatenate([cls, tok_map], axis=1)
+        if self.spatial:
+            return mha(q_proj(tokens), k, v)
+        return mha(q_proj(tokens[:, :1]), k, v)[:, 0]
+
+
+class ModifiedResNet(nn.Module):
+    """3-conv stem + avgpool + 4 stages + attention pooling
+    (reference: models/clip_fsar.py:549-608)."""
+    layers: Tuple[int, int, int, int]
+    output_dim: int
+    heads: int
+    input_resolution: int = 224
+    width: int = 64
+    spatial: Union[bool, str] = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=jnp.float32, name=name)
+        w = self.width
+        x = nn.relu(bn("bn1")(nn.Conv(w // 2, (3, 3), strides=2, padding=1,
+                                      use_bias=False, dtype=self.dtype,
+                                      name="conv1")(x)))
+        x = nn.relu(bn("bn2")(nn.Conv(w // 2, (3, 3), padding=1,
+                                      use_bias=False, dtype=self.dtype,
+                                      name="conv2")(x)))
+        x = nn.relu(bn("bn3")(nn.Conv(w, (3, 3), padding=1, use_bias=False,
+                                      dtype=self.dtype, name="conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        for stage, (blocks, planes, stride) in enumerate(zip(
+                self.layers, (w, w * 2, w * 4, w * 8), (1, 2, 2, 2))):
+            for b in range(blocks):
+                x = Bottleneck(planes, stride if b == 0 else 1,
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train=train)
+
+        return AttentionPool2d(self.input_resolution // 32, w * 32,
+                               self.heads, self.output_dim, self.spatial,
+                               dtype=self.dtype, name="attnpool")(x)
+
+
+# ---------------------------------------------------------------------------
+# Transformer (shared by ViT visual tower and the text tower)
+# ---------------------------------------------------------------------------
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN MHA + QuickGELU MLP with fused in-projection, mirroring torch
+    nn.MultiheadAttention parameterisation for weight import
+    (reference: models/clip_fsar.py:622-643)."""
+    d_model: int
+    n_head: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = FP32LayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(3 * self.d_model, dtype=self.dtype, name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = self.d_model // self.n_head
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.n_head,
+                             hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        attn = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+        if self.causal:
+            L = x.shape[1]
+            mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+            attn = jnp.where(mask[None, None], attn, -jnp.inf)
+        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
+                                                self.d_model)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        x = x + out
+
+        h = FP32LayerNorm(name="ln_2")(x)
+        h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
+        return x + h
+
+
+class TransformerStack(nn.Module):
+    """(reference: models/clip_fsar.py:645-653)"""
+    width: int
+    layers: int
+    heads: int
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads,
+                                       causal=self.causal, dtype=self.dtype,
+                                       name=f"resblock_{i}")(x)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """patch conv -> [cls]+pos -> pre-LN transformer -> ln_post+proj
+    (reference: models/clip_fsar.py:655-689)."""
+    input_resolution: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        # x: [N, H, W, 3]
+        p = self.patch_size
+        x = nn.Conv(self.width, (p, p), strides=p, use_bias=False,
+                    padding="VALID", dtype=self.dtype, name="conv1")(x)
+        N, gh, gw, C = x.shape
+        x = x.reshape(N, gh * gw, C)
+        scale = self.width ** -0.5
+        cls = self.param("class_embedding",
+                         lambda key, shape: scale * jax.random.normal(key, shape),
+                         (self.width,))
+        pos = self.param("positional_embedding",
+                         lambda key, shape: scale * jax.random.normal(key, shape),
+                         (gh * gw + 1, self.width))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (N, 1, self.width)), x], axis=1)
+        x = x + pos[None].astype(x.dtype)
+        x = FP32LayerNorm(name="ln_pre")(x)
+        x = TransformerStack(self.width, self.layers, self.heads,
+                             dtype=self.dtype, name="transformer")(x)
+        x = FP32LayerNorm(name="ln_post")(x[:, 0])
+        proj = self.param("proj",
+                          lambda key, shape: scale * jax.random.normal(key, shape),
+                          (self.width, self.output_dim))
+        return x @ proj.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Full CLIP
+# ---------------------------------------------------------------------------
+
+class CLIPModel(nn.Module):
+    """Joint image/text model (reference: models/clip_fsar.py:691-821)."""
+    arch: CLIPArch
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        a = self.arch
+        if a.is_vit:
+            self.visual = VisionTransformer(
+                input_resolution=a.image_resolution,
+                patch_size=a.vision_patch_size, width=a.vision_width,
+                layers=a.vision_layers, heads=a.vision_heads,
+                output_dim=a.embed_dim, dtype=self.dtype)
+        else:
+            self.visual = ModifiedResNet(
+                layers=a.vision_layers, output_dim=a.embed_dim,
+                heads=a.vision_heads, input_resolution=a.image_resolution,
+                width=a.vision_width, spatial=a.spatial, dtype=self.dtype)
+        self.transformer = TransformerStack(
+            a.transformer_width, a.transformer_layers, a.transformer_heads,
+            causal=True, dtype=self.dtype)
+        self.token_embedding = nn.Embed(a.vocab_size, a.transformer_width,
+                                        dtype=self.dtype)
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            lambda key, shape: 0.01 * jax.random.normal(key, shape),
+            (a.context_length, a.transformer_width))
+        self.ln_final = FP32LayerNorm()
+        self.text_projection = self.param(
+            "text_projection",
+            lambda key, shape: a.transformer_width ** -0.5
+            * jax.random.normal(key, shape),
+            (a.transformer_width, a.embed_dim))
+        self.logit_scale = self.param(
+            "logit_scale", lambda key, shape: jnp.full(shape, np.log(1 / 0.07)),
+            ())
+
+    def encode_image(self, image, *, train: bool = False):
+        """image: [N, H, W, 3] -> [N, embed_dim] (or token map if spatial)."""
+        return self.visual(image, train=train)
+
+    def encode_text(self, text):
+        """text: [B, context_length] int tokens -> [B, embed_dim]
+        (reference: models/clip_fsar.py:793-805). Batched: one call encodes
+        every prompt at once."""
+        x = self.token_embedding(text.astype(jnp.int32))
+        x = x + self.positional_embedding[None, : x.shape[1]].astype(x.dtype)
+        x = self.transformer(x)
+        x = self.ln_final(x)
+        # pool the EOT token (highest token id in each row)
+        eot = jnp.argmax(text, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return pooled @ self.text_projection.astype(pooled.dtype)
+
+    def __call__(self, image, text, *, train: bool = False):
+        img = self.encode_image(image, train=train)
+        txt = self.encode_text(text)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def build_clip(name_or_arch: Union[str, CLIPArch],
+               dtype: Dtype = jnp.float32,
+               spatial: Union[bool, str] = False) -> CLIPModel:
+    arch = (CLIP_ARCHS[name_or_arch]
+            if isinstance(name_or_arch, str) else name_or_arch)
+    if spatial:
+        arch = dataclasses.replace(arch, spatial=spatial)
+    return CLIPModel(arch=arch, dtype=dtype)
+
+
+def init_clip_params(model: CLIPModel, rng: jax.Array):
+    """Initialise parameter/batch-stats trees with dummy static-shape inputs."""
+    a = model.arch
+    img = jnp.zeros((1, a.image_resolution, a.image_resolution, 3),
+                    model.dtype)
+    txt = jnp.zeros((1, a.context_length), jnp.int32)
+    variables = model.init({"params": rng}, img, txt)
+    return variables

@@ -1,0 +1,113 @@
+"""Full FSAR models: backbone + matching head behind one jittable call.
+
+The reference dispatches head classes by ``cfg.MODEL.NAME`` inside the
+trainer (reference: run/main_run.py:110-137) and each head owns its backbone.
+Here a model is one flax Module: the backbone encodes the concatenated
+support+query frame stream once, and the head consumes per-frame features.
+Text tables are inputs (gathered per episode by the caller), so the whole
+forward is a pure function of (params, episode) — jit/vmap/shard-map ready.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .backbones.clip import CLIP_ARCHS, CLIPArch, ModifiedResNet, VisionTransformer
+from .heads.clipspm import CLIPSPM
+
+Dtype = Any
+
+
+def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
+                     name: str = "visual") -> nn.Module:
+    if arch.is_vit:
+        return VisionTransformer(
+            input_resolution=arch.image_resolution,
+            patch_size=arch.vision_patch_size, width=arch.vision_width,
+            layers=arch.vision_layers, heads=arch.vision_heads,
+            output_dim=arch.embed_dim, dtype=dtype, name=name)
+    return ModifiedResNet(
+        layers=arch.vision_layers, output_dim=arch.embed_dim,
+        heads=arch.vision_heads, input_resolution=arch.image_resolution,
+        width=arch.vision_width, spatial=arch.spatial, dtype=dtype, name=name)
+
+
+class CLIPSPMModel(nn.Module):
+    """CLIP visual tower + CLIPSPM head (reference: models/model_clipspm.py).
+
+    Call signature (shapes: S=way*shot, Q=way*queries, T=seq_len):
+        support_images: [S, T, H, W, 3] float (0-1)
+        target_images: [Q, T, H, W, 3]
+        support_labels: [S] int32
+        context_support: [S, 1, D] gathered text features
+        target_context_support: [Q, 1, D]
+    Returns dict(logits=[1, Q, way], dists=scalar).
+    """
+    arch: CLIPArch
+    way: int
+    shot: int
+    spm: Mapping[str, float]
+    single_direct: bool = False
+    dtype: Dtype = jnp.float32
+    remat_backbone: bool = False
+
+    def setup(self):
+        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
+                                         name="backbone")
+        self.head = CLIPSPM(dim=self.arch.embed_dim, way=self.way,
+                            shot=self.shot, spm=self.spm,
+                            single_direct=self.single_direct,
+                            dtype=self.dtype, name="head")
+
+    def encode_frames(self, images: jnp.ndarray, *, train: bool = False):
+        """[N, T, H, W, 3] -> [N, T, D]: one batched backbone call
+        (reference: models/model_clipspm.py:146-167 calls it per set)."""
+        N, T = images.shape[:2]
+        frames = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        bb = self.backbone
+        if self.remat_backbone:
+            bb = nn.remat(lambda m, x: m(x, train=train))
+            feats = bb(self.backbone, frames)
+        else:
+            feats = bb(frames, train=train)
+        return feats.reshape(N, T, -1)
+
+    def __call__(self, support_images, target_images, support_labels,
+                 context_support, target_context_support, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        both = jnp.concatenate(
+            [support_images.reshape((S * T,) + support_images.shape[2:]),
+             target_images.reshape((Q * T,) + target_images.shape[2:])],
+            axis=0).astype(self.dtype)
+        feats = self.backbone(both, train=train)
+        dim = feats.shape[-1]
+        su = feats[: S * T].reshape(S, T, dim)
+        qu = feats[S * T:].reshape(Q, T, dim)
+        return self.head(su, qu, support_labels, context_support,
+                         target_context_support, train=train)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
+    """Construct the model named by ``cfg.MODEL.NAME``
+    (reference: run/main_run.py:110-131)."""
+    name = cfg.MODEL.NAME
+    backbone = arch_override or cfg.MODEL.BACKBONE
+    dtype = jnp.bfloat16 if cfg.get("USE_AMP", False) else jnp.float32
+
+    if name == "clipspm":
+        arch = CLIP_ARCHS[backbone]
+        return CLIPSPMModel(
+            arch=arch, way=cfg.TRAIN.WAY, shot=cfg.TRAIN.SHOT,
+            spm=dict(cfg.params), dtype=dtype,
+            single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
+    raise NotImplementedError(f"model {name!r} not yet implemented")

@@ -1,0 +1,7 @@
+"""Mesh construction and sharding policies."""
+
+from .mesh import (episode_sharding, make_mesh, replicate_sharding,
+                   shard_episode_batch)
+
+__all__ = ["make_mesh", "episode_sharding", "replicate_sharding",
+           "shard_episode_batch"]

@@ -1,0 +1,58 @@
+"""Orbax checkpointing with the reference's logical content.
+
+The reference saves {iteration, model/optimizer/scheduler state, acc} as
+``checkpoint_{best,iter_N}.pt`` (reference: run/main_run.py:405-427). Here the
+same logical payload (episode count, params, batch_stats, opt_state, best
+accuracy, rng) round-trips through orbax; LR-schedule state is implicit in
+the optimizer step count, matching the reference's episode-unit milestones.
+
+Unlike the reference, a fresh run never deletes an existing checkpoint dir
+(reference: utils/utils.py:61-95 ``rm -rf``s it — SURVEY §2.8 defect 6);
+collisions are an error instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .learner import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, f"checkpoint_{tag}")
+
+    def save(self, state: TrainState, tag: str, best_acc: float = 0.0,
+             overwrite: bool = True) -> str:
+        path = self._path(tag)
+        payload = {
+            "state": state,
+            "meta": {"iteration": np.asarray(int(state.episode)),
+                     "acc": np.asarray(float(best_acc))},
+        }
+        self._ckptr.save(path, payload, force=overwrite)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, tag: str, template_state: TrainState
+                ) -> Dict[str, Any]:
+        path = self._path(tag)
+        template = {
+            "state": template_state,
+            "meta": {"iteration": np.asarray(0), "acc": np.asarray(0.0)},
+        }
+        payload = self._ckptr.restore(path, template)
+        return payload
+
+    def exists(self, tag: str) -> bool:
+        return os.path.isdir(self._path(tag))

@@ -1,0 +1,312 @@
+"""Episodic Learner: the trainer/evaluator runtime.
+
+Fresh TPU-native design of the reference ``Learner``
+(reference: run/main_run.py:27-427):
+
+- gradient accumulation over ``TASKS_PER_BATCH`` episodes happens *inside*
+  one jitted ``train_step`` via ``lax.scan`` (sum of per-episode gradients —
+  bit-equivalent to the reference's ``backward()`` accumulation,
+  run/main_run.py:204-209) instead of 16 python-side steps;
+- device-side transforms fuse into the same jitted step;
+- bf16 compute replaces torch AMP + GradScaler (bf16 needs no loss scaling);
+- text tables are device constants gathered per episode;
+- evaluation runs episodes under a separate eval-shaped jit (test
+  QUERY_PER_CLASS differs from train; reference: configs/base.yaml:20,29) and
+  reports mean accuracy with the reference's ``196 * std / sqrt(n)``
+  confidence radius (reference: run/main_run.py:288).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.episode import Episode
+from ..data.transforms import episode_device_transform
+from .losses import loss_and_acc
+from .optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    episode: jnp.ndarray          # episodes consumed (int32)
+    rng: jax.Array
+    text_train: jnp.ndarray       # [C_train, D] (zeros for non-CLIP heads)
+    text_test: jnp.ndarray        # [C_test, D]
+
+
+@dataclasses.dataclass
+class TransformSpec:
+    img_size: int = 224
+    resize_to: int = 256
+    flip: bool = True            # False for SSv2 (reference: video_reader.py:97-101)
+    normalize: bool = False
+
+    @classmethod
+    def from_config(cls, cfg) -> "TransformSpec":
+        dataset = cfg.DATA.DATASET
+        img = int(cfg.DATA.IMG_SIZE)
+        return cls(img_size=img, resize_to=256 if img == 224 else 96,
+                   flip=dataset not in ("ssv2", "ssv2_cmn"),
+                   normalize=bool(cfg.DATA.get("IMG_NORM", False)))
+
+
+class Learner:
+    """Config-driven trainer/evaluator over an episode stream."""
+
+    def __init__(self, cfg, model, variables,
+                 train_source: Optional[Iterator[Episode]] = None,
+                 test_source: Optional[Iterator[Episode]] = None,
+                 text_train: Optional[jnp.ndarray] = None,
+                 text_test: Optional[jnp.ndarray] = None,
+                 transform: Optional[TransformSpec] = None,
+                 mesh=None, parallel_episodes: Optional[int] = None,
+                 log_fn: Callable[[str], None] = print):
+        self.cfg = cfg
+        self.model = model
+        self.model_name = cfg.MODEL.NAME
+        self.tasks_per_batch = int(cfg.TRAIN.TASKS_PER_BATCH)
+        self.train_source = train_source
+        self.test_source = test_source
+        self.transform = transform or TransformSpec.from_config(cfg)
+        self.log = log_fn
+        self.tx = make_optimizer(cfg)
+        # data-parallel microbatch width: episodes processed concurrently
+        # (vmapped, sharded over the mesh 'dp' axis); the remaining
+        # tasks_per_batch/M accumulate sequentially via scan.
+        self.mesh = mesh
+        if parallel_episodes is None:
+            parallel_episodes = mesh.shape["dp"] if mesh is not None else 1
+        self.parallel_episodes = int(parallel_episodes)
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        dim = 1
+        if text_train is None:
+            text_train = jnp.zeros((1, dim), jnp.float32)
+        if text_test is None:
+            text_test = jnp.zeros((1, dim), jnp.float32)
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            episode=jnp.asarray(0, jnp.int32),
+            rng=jax.random.PRNGKey(int(cfg.MODEL.SEED)),
+            text_train=jnp.asarray(text_train),
+            text_test=jnp.asarray(text_test))
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- model application ----------------------------------------------------
+
+    def _apply(self, params, batch_stats, episode: Episode, rng, *,
+               train: bool, text_table):
+        t = self.transform
+        k_t, k_s, k_d = jax.random.split(rng, 3)
+        sup = episode_device_transform(
+            episode.support_images, k_s, train=train, img_size=t.img_size,
+            resize_to=t.resize_to, flip=t.flip, normalize=t.normalize)
+        tgt = episode_device_transform(
+            episode.target_images, k_t, train=train, img_size=t.img_size,
+            resize_to=t.resize_to, flip=t.flip, normalize=t.normalize)
+
+        context_support = text_table[episode.real_support_labels][:, None, :]
+        target_context = text_table[episode.real_target_labels][:, None, :]
+
+        variables = {"params": params}
+        mutable = False
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"] if train else False
+
+        kwargs = dict(train=train)
+        if mutable:
+            outputs, updated = self.model.apply(
+                variables, sup, tgt, episode.support_labels,
+                context_support, target_context, rngs={"dropout": k_d},
+                mutable=mutable, **kwargs)
+            new_stats = updated["batch_stats"]
+        else:
+            outputs = self.model.apply(
+                variables, sup, tgt, episode.support_labels,
+                context_support, target_context, rngs={"dropout": k_d},
+                **kwargs)
+            new_stats = batch_stats
+        return outputs, new_stats
+
+    def _episode_loss(self, params, batch_stats, episode, rng, *, train,
+                      text_table):
+        outputs, new_stats = self._apply(params, batch_stats, episode, rng,
+                                         train=train, text_table=text_table)
+        loss, acc = loss_and_acc(
+            self.model_name, outputs, episode.target_labels,
+            episode.real_support_labels, episode.real_target_labels,
+            self.tasks_per_batch, cfg=self.cfg, train=train)
+        return loss, (acc, new_stats)
+
+    # -- steps -----------------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch: Episode):
+        """One optimizer step over ``[E, ...]``-batched episodes.
+
+        Sequentially scans episodes (the backbone batch inside one episode is
+        already large) and sums gradients — the reference's accumulate-16
+        loop in one compiled step (reference: run/main_run.py:193-210).
+        """
+        E = batch.support_labels.shape[0]
+        M = self.parallel_episodes
+        rng, step_rng = jax.random.split(state.rng)
+        ep_rngs = jax.random.split(step_rng, E)
+
+        def loss_for_grad(params, stats, ep, k):
+            return self._episode_loss(params, stats, ep, k, train=True,
+                                      text_table=state.text_train)
+
+        vg = jax.value_and_grad(loss_for_grad, has_aux=True)
+
+        if M > 1:
+            # [E] -> [E//M, M]: vmap M episodes concurrently (sharded over
+            # the mesh dp axis), scan-accumulate the E//M microsteps.
+            assert E % M == 0, f"batch of {E} episodes not divisible by M={M}"
+            batch = jax.tree.map(
+                lambda x: x.reshape((E // M, M) + x.shape[1:]), batch)
+            ep_rngs = ep_rngs.reshape(E // M, M, -1)
+            if self.mesh is not None:
+                # pin the concurrent-episode axis to the mesh dp axis; XLA
+                # partitions the microbatch and psums gradients over ICI.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                spec = NamedSharding(self.mesh, P(None, "dp"))
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, spec),
+                    batch)
+            vg_m = jax.vmap(vg, in_axes=(None, None, 0, 0))
+
+            def micro(params, stats, eps, ks):
+                (loss, (acc, new_stats)), grads = vg_m(params, stats, eps, ks)
+                grads = jax.tree.map(lambda g: jnp.sum(g, axis=0), grads)
+                new_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0),
+                                         new_stats)
+                return (jnp.sum(loss), (jnp.sum(acc), new_stats)), grads
+        else:
+            micro = None
+
+        def body(carry, inp):
+            grads_acc, stats, loss_acc, acc_acc = carry
+            ep, k = inp
+            step_fn = micro if M > 1 else vg
+            (loss, (acc, new_stats)), grads = step_fn(state.params, stats,
+                                                      ep, k)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_stats, loss_acc + loss, acc_acc + acc), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        init = (zero_grads, state.batch_stats, jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32))
+        (grads, new_stats, loss_sum, acc_sum), _ = jax.lax.scan(
+            body, init, (batch, ep_rngs))
+
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            episode=state.episode + E, rng=rng)
+        metrics = {"loss": loss_sum / E, "acc": acc_sum / E}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, episode: Episode):
+        rng = jax.random.fold_in(state.rng, 1)
+        loss, (acc, _) = self._episode_loss(
+            state.params, state.batch_stats, episode, rng, train=False,
+            text_table=state.text_test)
+        return {"loss": loss, "acc": acc}
+
+    # -- public API --------------------------------------------------------------
+
+    def train_episodes(self, episodes) -> Dict[str, float]:
+        """Consume a list/batch of episodes as one optimizer step."""
+        from ..data.episode import stack_episodes
+
+        if isinstance(episodes, Episode):
+            batch = episodes
+        else:
+            batch = stack_episodes([_device_episode(e) for e in episodes])
+        self.state, metrics = self._train_step(self.state, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def evaluate(self, n_episodes: int,
+                 source: Optional[Iterator[Episode]] = None) -> Dict[str, float]:
+        """(reference: run/main_run.py:256-293)"""
+        source = source or self.test_source
+        accs, losses = [], []
+        it = iter(source)
+        for _ in range(n_episodes):
+            ep = _device_episode(next(it))
+            m = self._eval_step(self.state, ep)
+            accs.append(float(m["acc"]))
+            losses.append(float(m["loss"]))
+        accs_arr = np.asarray(accs)
+        return {
+            "accuracy": float(accs_arr.mean() * 100.0),
+            "confidence": float(196.0 * accs_arr.std() / np.sqrt(len(accs))),
+            "loss": float(np.mean(losses)),
+        }
+
+    def run(self, train_episodes: Optional[int] = None,
+            val_freq: Optional[int] = None,
+            test_episodes: Optional[int] = None,
+            print_freq: Optional[int] = None,
+            checkpoint_fn: Optional[Callable[[int, float], None]] = None
+            ) -> Dict[str, float]:
+        """Training loop with periodic eval (reference: run/main_run.py:179-243)."""
+        cfg = self.cfg
+        total = train_episodes or int(cfg.TRAIN.TRAIN_EPISODES)
+        val_freq = val_freq or int(cfg.TRAIN.VAL_FREQ)
+        test_eps = test_episodes or int(cfg.TEST.TEST_EPISODES)
+        print_freq = print_freq or int(cfg.TRAIN.PRINT_FREQ)
+        tpb = self.tasks_per_batch
+
+        it = iter(self.train_source)
+        best_acc = 0.0
+        window_loss, window_acc = [], []
+        episode = int(self.state.episode)
+        while episode < total:
+            batch = [next(it) for _ in range(min(tpb, total - episode))]
+            if len(batch) < tpb:
+                # keep static shapes: pad the final partial batch
+                batch = batch + [batch[-1]] * (tpb - len(batch))
+            m = self.train_episodes(batch)
+            episode = int(self.state.episode)
+            window_loss.append(m["loss"])
+            window_acc.append(m["acc"])
+
+            if episode % print_freq < tpb:
+                self.log(f"Task [{episode}/{total}], Train Loss: "
+                         f"{np.mean(window_loss):.7f}, Train Accuracy: "
+                         f"{np.mean(window_acc):.7f}")
+                window_loss, window_acc = [], []
+
+            if val_freq and episode % val_freq < tpb and episode < total:
+                res = self.evaluate(test_eps)
+                self.log(f"Val @ {episode}: acc {res['accuracy']:.2f} "
+                         f"+/- {res['confidence']:.2f}")
+                if res["accuracy"] > best_acc:
+                    best_acc = res["accuracy"]
+                    if checkpoint_fn:
+                        checkpoint_fn(episode, best_acc)
+        return {"best_accuracy": best_acc, "episodes": episode}
+
+
+def _device_episode(e: Episode) -> Episode:
+    return jax.tree.map(jnp.asarray, e)

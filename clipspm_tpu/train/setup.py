@@ -1,0 +1,150 @@
+"""Builders: config -> (model, variables, text tables, data, learner).
+
+This is the glue the reference keeps inside ``Learner.__init__`` and the head
+constructors (model dispatch run/main_run.py:110-137, CLIP load + per-class
+text encode models/model_clipspm.py:15-70, dataset/loader construction
+run/main_run.py:70-71). Pretrained CLIP weights load from a local checkpoint
+(``$CLIP_WEIGHTS_DIR`` or ``~/.cache/clip``) — never the network.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import EpisodeLoader
+from ..data.sampler import EpisodeSampler
+from ..data.splits import load_split
+from ..models.backbones.clip import CLIP_ARCHS, CLIPModel, build_clip
+from ..models.fsar import build_model
+from ..models.text_features import (PROMPT_TEMPLATES, SINGLE_TEMPLATE,
+                                    encode_class_text_features)
+from .learner import Learner, TransformSpec
+
+# model files named as in the OpenAI release (reference: models/clip_fsar.py:827-837)
+_CLIP_FILES = {"RN50": "RN50.pt", "ViT-B/16": "ViT-B-16.pt"}
+
+CLIP_HEADS = ("clipspm", "clipfsar", "cpm2c", "sten")
+SINGLE_PROMPT_HEADS = ("clipfsar", "sten")
+
+
+def find_clip_checkpoint(backbone: str) -> Optional[str]:
+    fname = _CLIP_FILES.get(backbone)
+    if fname is None:
+        return None
+    for root in (os.environ.get("CLIP_WEIGHTS_DIR"),
+                 os.path.expanduser("~/.cache/clip")):
+        if root and os.path.isfile(os.path.join(root, fname)):
+            return os.path.join(root, fname)
+    return None
+
+
+def build_clip_variables(backbone: str, rng: jax.Array,
+                         dtype=jnp.float32) -> Tuple[CLIPModel, dict, bool]:
+    """Full CLIP (visual + text) variables: pretrained if available."""
+    ckpt = find_clip_checkpoint(backbone)
+    if ckpt is not None:
+        from ..models.backbones.torch_import import load_clip_checkpoint
+
+        arch, variables = load_clip_checkpoint(ckpt)
+        model = CLIPModel(arch=arch, dtype=dtype)
+        return model, variables, True
+    from ..models.backbones.clip import init_clip_params
+
+    model = build_clip(backbone, dtype=dtype)
+    variables = init_clip_params(model, rng)
+    return model, variables, False
+
+
+def build_text_tables(cfg, clip_model: CLIPModel, clip_variables
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Template-ensemble text features for train/test class names
+    (reference: models/model_clipspm.py:44-70)."""
+    templates = (SINGLE_TEMPLATE if cfg.MODEL.NAME in SINGLE_PROMPT_HEADS
+                 else PROMPT_TEMPLATES)
+    train_names = list(cfg.TRAIN.CLASS_NAME)
+    test_names = list(cfg.TEST.CLASS_NAME)
+    text_train = encode_class_text_features(clip_model, clip_variables,
+                                            train_names, templates)
+    text_test = encode_class_text_features(clip_model, clip_variables,
+                                           test_names, templates)
+    return text_train, text_test
+
+
+def splice_backbone(variables: dict, clip_variables: dict) -> dict:
+    """Replace the FSAR model's randomly-initialised ``backbone`` collection
+    entries with the CLIP visual tower weights."""
+    out = dict(variables)
+    params = dict(out["params"])
+    params["backbone"] = clip_variables["params"]["visual"]
+    out["params"] = params
+    if "batch_stats" in clip_variables:
+        stats = dict(out.get("batch_stats", {}))
+        stats["backbone"] = clip_variables["batch_stats"]["visual"]
+        out["batch_stats"] = stats
+    return out
+
+
+def init_model_variables(cfg, model, rng: jax.Array) -> dict:
+    """Initialise with dummy episode-shaped inputs (static shapes)."""
+    way = int(cfg.TRAIN.WAY)
+    shot = int(cfg.TRAIN.SHOT)
+    queries = int(cfg.TRAIN.QUERY_PER_CLASS)
+    T = int(cfg.DATA.SEQ_LEN)
+    img = int(cfg.DATA.IMG_SIZE)
+    S, Q = way * shot, way * queries
+    backbone = cfg.MODEL.BACKBONE
+    dim = CLIP_ARCHS[backbone].embed_dim if backbone in CLIP_ARCHS \
+        else int(cfg.trans_linear_in_dim)
+    dummy = (
+        jnp.zeros((S, T, img, img, 3), jnp.float32),
+        jnp.zeros((Q, T, img, img, 3), jnp.float32),
+        jnp.arange(S, dtype=jnp.int32) % way,
+        jnp.zeros((S, 1, dim), jnp.float32),
+        jnp.zeros((Q, 1, dim), jnp.float32),
+    )
+    return model.init(rng, *dummy)
+
+
+def build_learner(cfg, log_fn=print) -> Learner:
+    """Full production wiring: data + model + weights + text tables."""
+    rng = jax.random.PRNGKey(int(cfg.MODEL.SEED))
+    model = build_model(cfg)
+    variables = init_model_variables(cfg, model, rng)
+
+    text_train = text_test = None
+    if cfg.MODEL.NAME in CLIP_HEADS:
+        clip_model, clip_vars, pretrained = build_clip_variables(
+            cfg.MODEL.BACKBONE, rng)
+        if not pretrained:
+            log_fn("WARNING: no local CLIP checkpoint found "
+                   "(set CLIP_WEIGHTS_DIR); using random backbone weights")
+        variables = splice_backbone(variables, clip_vars)
+        text_train, text_test = build_text_tables(cfg, clip_model, clip_vars)
+
+    only_test = bool(cfg.TEST.ONLY_TEST)
+    num_workers = int(cfg.DATA.NUM_WORKERS)
+    seq_len = int(cfg.DATA.SEQ_LEN)
+    split = int(cfg.DATA.get("SPLIT", 3))
+    dataset = cfg.DATA.DATASET
+
+    def make_loader(mode: str, train: bool, queries: int):
+        catalog = load_split(cfg.traintestlist, cfg.path, mode, dataset,
+                             seq_len, split)
+        sampler = EpisodeSampler(
+            catalog, way=int(cfg.TRAIN.WAY), shot=int(cfg.TRAIN.SHOT),
+            queries=queries, seq_len=seq_len, train=train,
+            seed=int(cfg.MODEL.SEED) + (0 if train else 1))
+        return EpisodeLoader(sampler, num_workers=num_workers)
+
+    test_loader = make_loader("test", False, int(cfg.TEST.QUERY_PER_CLASS))
+    train_loader = None if only_test else make_loader(
+        "train", True, int(cfg.TRAIN.QUERY_PER_CLASS))
+
+    return Learner(cfg, model, variables, train_source=train_loader,
+                   test_source=test_loader, text_train=text_train,
+                   text_test=text_test, log_fn=log_fn)

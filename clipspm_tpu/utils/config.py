@@ -191,7 +191,28 @@ def finalize_config(cfg: ConfigNode, splits_root: Optional[str] = None) -> Confi
 
     if "params" not in cfg:
         cfg.params = SPM_DEFAULT_PARAMS.get(dataset, SPM_DEFAULT_PARAMS["hmdb"])
+
+    # class-name captions for CLIP text prompts: resolve from the
+    # consolidated table when the override YAML doesn't embed them (the
+    # reference embeds the lists in every CLIP-head config, e.g.
+    # reference configs/clipspm/hmdb.yaml:16,23)
+    names_path = os.path.join(_repo_root(), "configs", "class_names.yaml")
+    if dataset in DATASET_PATHS and os.path.isfile(names_path):
+        needs_train = "CLASS_NAME" not in cfg.get("TRAIN", {})
+        needs_test = "CLASS_NAME" not in cfg.get("TEST", {})
+        if needs_train or needs_test:
+            table = load_yaml(names_path).get(dataset)
+            if table:
+                if needs_train and "TRAIN" in cfg:
+                    cfg.TRAIN.CLASS_NAME = table["train"]
+                if needs_test and "TEST" in cfg:
+                    cfg.TEST.CLASS_NAME = table["test"]
     return cfg
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def load_config(

@@ -15,4 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# /root/.axon_site/sitecustomize.py force-sets jax_platforms="axon,cpu"
+# (remote TPU tunnel first); tests must be hermetic + local.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# compile times dominate on shared CPU runners; persist compiled executables
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
