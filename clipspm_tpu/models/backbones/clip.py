@@ -57,12 +57,13 @@ CLIP_ARCHS = {
     "RN50": CLIPArch(1024, 224, (3, 4, 6, 3), 64, None),
     # ViT-B/16: 512-d embed (reference: models/model_clipspm.py:33 mid_dim=512)
     "ViT-B/16": CLIPArch(512, 224, 12, 768, 16),
-    # tiny config for hermetic CPU tests
-    "test-tiny": CLIPArch(32, 32, 2, 64, 8, context_length=16, vocab_size=256,
+    # tiny configs for hermetic CPU tests; vocab >= 514 so a byte-level BPE
+    # tokenizer (256 bytes + 256 word-final + specials) can address it
+    "test-tiny": CLIPArch(32, 32, 2, 64, 8, context_length=16, vocab_size=600,
                           transformer_width=32, transformer_heads=2,
                           transformer_layers=2),
     "test-tiny-rn": CLIPArch(64, 32, (1, 1, 1, 1), 8, None, context_length=16,
-                             vocab_size=256, transformer_width=32,
+                             vocab_size=600, transformer_width=32,
                              transformer_heads=2, transformer_layers=2),
 }
 

@@ -42,6 +42,10 @@ def encode_class_text_features(model: CLIPModel, variables,
     """Returns the ``[num_classes, embed_dim]`` template-averaged table."""
     templates = list(templates or PROMPT_TEMPLATES)
     prompts = [t.format(name) for t in templates for name in class_names]
+    if tokenizer is None and model.arch.vocab_size != 49408:
+        # non-standard (test) vocab: build a tokenizer whose ids fit the
+        # model's token embedding table
+        tokenizer = SimpleTokenizer(vocab_size=model.arch.vocab_size)
     tokens = tokenize(prompts, context_length=model.arch.context_length,
                       truncate=True, tokenizer=tokenizer)
 
