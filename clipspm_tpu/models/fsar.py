@@ -104,10 +104,36 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     backbone = arch_override or cfg.MODEL.BACKBONE
     dtype = jnp.bfloat16 if cfg.get("USE_AMP", False) else jnp.float32
 
+    way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)
+    seq_len = int(cfg.DATA.SEQ_LEN)
+    # test-size resnet trunks use a narrow width
+    rn_width = 8 if backbone == "test-tiny-resnet" else 64
+    rn_arch = "resnet18" if backbone == "test-tiny-resnet" else backbone
+
     if name == "clipspm":
         arch = CLIP_ARCHS[backbone]
         return CLIPSPMModel(
-            arch=arch, way=cfg.TRAIN.WAY, shot=cfg.TRAIN.SHOT,
+            arch=arch, way=way, shot=shot,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
+    if name == "sten":
+        from .heads.sten import STENModel
+
+        return STENModel(arch=CLIP_ARCHS[backbone], way=way, shot=shot,
+                         dtype=dtype)
+    if name == "otam":
+        from .heads.otam import OTAMModel
+
+        return OTAMModel(way=way, shot=shot, arch=rn_arch,
+                         backbone_width=rn_width, dtype=dtype)
+    if name == "trx":
+        from .heads.trx import TRXModel
+
+        return TRXModel(way=way, shot=shot, seq_len=seq_len,
+                        temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2, 3))),
+                        out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
+                                                  1152)),
+                        arch=rn_arch, backbone_width=rn_width,
+                        dropout=float(cfg.MODEL.get("TRANS_DROPOUT", 0.1)),
+                        dtype=dtype)
     raise NotImplementedError(f"model {name!r} not yet implemented")

@@ -1,0 +1,116 @@
+"""OTAM head: ResNet features + bidirectional OTAM DP matching.
+
+(reference: models/model_otam.py — CNN_FSHead/CNN_OTAM, plus the ``mo_3``
+motion-token module it instantiates from models/myRes.py:571-600.)
+
+TPU-first notes: the OTAM DP is the wavefront kernel with lambda=0.1 (the
+head-local copy in the reference, models/model_otam.py:96-126); the
+class-mean over support instances is a static segment reduction; ``mo_3``'s
+python loop over 8 frames becomes an unrolled static loop over the frame
+axis (T is a compile-time constant).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.otam import otam_distance
+from ..backbones.resnet import TorchResNet
+from ..blocks import TransformerV1, class_prototypes, cos_sim
+
+Dtype = Any
+
+
+def cosine_similarity_rows(x: jnp.ndarray, y: jnp.ndarray,
+                           eps: float = 1e-8) -> jnp.ndarray:
+    """Plain row-wise cosine similarity matrix [N, M]
+    (reference: models/myRes.py:741-754 ``cosine_dist`` — despite the name it
+    returns similarity, built from torch.cosine_similarity with norm clamp).
+    """
+    xn = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    yn = jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), eps)
+    return (x / xn) @ (y / yn).T
+
+
+class MoTokens(nn.Module):
+    """``mo_3`` spatial motion-token module (reference:
+    models/myRes.py:571-600). Consumes backbone *spatial* maps."""
+    dim: int
+    tokens: int = 49
+    way: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, qu_sp: jnp.ndarray, su_sp: jnp.ndarray,
+                 su_labels: jnp.ndarray, *, deterministic: bool = True
+                 ) -> jnp.ndarray:
+        """qu_sp: [Q, T, tokens, D]; su_sp: [S, T, tokens, D] -> [1, Q, way]."""
+        mo = self.param("mo", nn.initializers.xavier_normal(),
+                        (1, self.tokens, self.dim))
+        trans_1 = TransformerV1(dim=self.dim, dropout_atte=0.2,
+                                dtype=self.dtype, name="trans_1")
+        trans_2 = TransformerV1(dim=self.dim, dropout_atte=0.2,
+                                dtype=self.dtype, name="trans_2")
+
+        def refine(sp):
+            # scalar mean per video scales the shared token bank
+            m = mo.astype(sp.dtype) * sp.mean(axis=(1, 2, 3), keepdims=True)[:, 0]
+            T = sp.shape[1]
+            for i in range(T):
+                m = trans_1(sp[:, i], m, m, deterministic=deterministic)
+            m = trans_2(m, m, m, deterministic=deterministic)
+            return m.mean(axis=1)
+
+        mo_q = refine(qu_sp)
+        mo_s = refine(su_sp)
+        sim = cosine_similarity_rows(mo_q.astype(jnp.float32),
+                                     mo_s.astype(jnp.float32))
+        class_sim = class_prototypes(sim.T, su_labels, self.way).T  # [Q, way]
+        prob = jax.nn.softmax(class_sim, axis=-1)
+        return prob[None]
+
+
+class OTAMModel(nn.Module):
+    """CNN_OTAM (reference: models/model_otam.py:130-166)."""
+    way: int
+    shot: int
+    arch: str = "resnet50"
+    backbone_width: int = 64
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = TorchResNet(arch=self.arch, output="spatial",
+                                    width=self.backbone_width,
+                                    dtype=self.dtype, name="backbone")
+        dim = self.backbone.feature_dim
+        self.mo = MoTokens(dim=dim, tokens=49, way=self.way,
+                           dtype=self.dtype, name="mo")
+
+    def __call__(self, support_images, target_images, support_labels,
+                 context_support=None, target_context_support=None, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        both = jnp.concatenate(
+            [support_images.reshape((S * T,) + support_images.shape[2:]),
+             target_images.reshape((Q * T,) + target_images.shape[2:])],
+            axis=0).astype(self.dtype)
+        fmap = self.backbone(both, train=train)   # [N, h, w, D]
+        N, h, w, D = fmap.shape
+        tokens = fmap.reshape(N, h * w, D)
+        su_sp = tokens[: S * T].reshape(S, T, h * w, D)
+        qu_sp = tokens[S * T:].reshape(Q, T, h * w, D)
+
+        mo_logits = self.mo(qu_sp, su_sp, support_labels,
+                            deterministic=not train)
+
+        su = su_sp.mean(axis=2)   # adaptive-avg-pool -> [S, T, D]
+        qu = qu_sp.mean(axis=2)
+        cum = otam_distance(su.astype(jnp.float32), qu.astype(jnp.float32),
+                            lbda=0.1, bidirectional=True)   # [Q, S]
+        class_dists = class_prototypes(cum.T, support_labels, self.way).T
+        return {"logits": -class_dists[None], "mo_logits": mo_logits}

@@ -1,0 +1,55 @@
+"""STEN head: minimal CLIP baseline.
+
+(reference: models/model_sten.py:11-103) Mean-pooled frame features; class
+prototypes of visual features and of single-prompt text features; logits =
+softmax(cos(q, text_proto)) * softmax(cos(q, visual_proto)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..backbones.clip import CLIPArch
+from ..blocks import class_prototypes, cos_sim
+from ..fsar import make_clip_visual
+
+Dtype = Any
+
+
+class STENModel(nn.Module):
+    arch: CLIPArch
+    way: int
+    shot: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
+                                         name="backbone")
+
+    def __call__(self, support_images, target_images, support_labels,
+                 context_support, target_context_support=None, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        both = jnp.concatenate(
+            [support_images.reshape((S * T,) + support_images.shape[2:]),
+             target_images.reshape((Q * T,) + target_images.shape[2:])],
+            axis=0).astype(self.dtype)
+        feats = self.backbone(both, train=train)
+        D = feats.shape[-1]
+        su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
+        qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)
+
+        t_f = context_support[:, 0, :].astype(jnp.float32)      # [S, D]
+        t_proto = class_prototypes(t_f, support_labels, self.way)
+        s_proto = class_prototypes(su_f.astype(jnp.float32), support_labels,
+                                   self.way)
+        sim_qt = jax.nn.softmax(cos_sim(qu_f.astype(jnp.float32), t_proto),
+                                axis=-1)
+        sim_qs = jax.nn.softmax(cos_sim(qu_f.astype(jnp.float32), s_proto),
+                                axis=-1)
+        return {"logits": (sim_qt * sim_qs)[None]}

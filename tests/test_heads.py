@@ -1,0 +1,97 @@
+"""Per-head forward/backward contract tests on tiny configs.
+
+Every head must return ``logits`` of shape [1, Q, way] with finite values and
+differentiable parameters (the reference output contract,
+e.g. models/model_TRX.py:179, models/model_otam.py:165).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
+from clipspm_tpu.train.losses import episodic_ce
+
+WAY, SHOT, QUERIES, T, IMG = 2, 2, 2, 3, 32
+S, Q = WAY * SHOT, WAY * QUERIES
+
+
+def episode_inputs(dim):
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.uniform(size=(S, T, IMG, IMG, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(size=(Q, T, IMG, IMG, 3)), jnp.float32),
+        jnp.asarray([0, 1, 0, 1], jnp.int32),
+        jnp.asarray(rng.normal(size=(S, 1, dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(Q, 1, dim)), jnp.float32),
+    )
+
+
+def make_model(name):
+    if name == "clipspm":
+        from clipspm_tpu.models.fsar import CLIPSPMModel
+        from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
+
+        arch = CLIP_ARCHS["test-tiny"]
+        return (CLIPSPMModel(arch=arch, way=WAY, shot=SHOT,
+                             spm=SPM_DEFAULT_PARAMS["hmdb"]),
+                arch.embed_dim)
+    if name == "sten":
+        from clipspm_tpu.models.heads.sten import STENModel
+
+        arch = CLIP_ARCHS["test-tiny"]
+        return STENModel(arch=arch, way=WAY, shot=SHOT), arch.embed_dim
+    if name == "otam":
+        from clipspm_tpu.models.heads.otam import OTAMModel
+
+        return OTAMModel(way=WAY, shot=SHOT, arch="resnet18",
+                         backbone_width=8), 64
+    if name == "trx":
+        from clipspm_tpu.models.heads.trx import TRXModel
+
+        return TRXModel(way=WAY, shot=SHOT, seq_len=T, temp_set=(2,),
+                        out_dim=32, arch="resnet18", backbone_width=8), 64
+    raise ValueError(name)
+
+
+HEADS = ["sten", "otam", "trx"]
+
+
+@pytest.mark.parametrize("name", HEADS)
+def test_head_forward_contract(name):
+    model, dim = make_model(name)
+    inputs = episode_inputs(dim)
+    variables = model.init(jax.random.PRNGKey(0), *inputs)
+    out = model.apply(variables, *inputs, train=False,
+                      mutable=False)
+    logits = out["logits"]
+    assert logits.shape == (1, Q, WAY)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("name", HEADS)
+def test_head_backward(name):
+    model, dim = make_model(name)
+    inputs = episode_inputs(dim)
+    variables = model.init(jax.random.PRNGKey(0), *inputs)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    labels = jnp.asarray([0, 1, 0, 1], jnp.int32)
+
+    def loss_fn(p):
+        v = {"params": p}
+        mutable = False
+        if stats:
+            v["batch_stats"] = stats
+            mutable = ["batch_stats"]
+        out = model.apply(v, *inputs, train=True, mutable=mutable,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        if mutable:
+            out = out[0]
+        return episodic_ce(out["logits"], labels)
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree.leaves(grads)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
+    assert np.isfinite(total) and total > 0
