@@ -41,16 +41,16 @@ def main():
     S, Q, D = way * shot, way * queries, arch.embed_dim
 
     rng = jax.random.PRNGKey(0)
+    text = jax.random.normal(jax.random.PRNGKey(1), (16, D), jnp.bfloat16)
     dummy = (
         jnp.zeros((S, T, img, img, 3), jnp.bfloat16),
         jnp.zeros((Q, T, img, img, 3), jnp.bfloat16),
         jnp.arange(S, dtype=jnp.int32) % way,
-        jnp.zeros((S, 1, D), jnp.bfloat16),
-        jnp.zeros((Q, 1, D), jnp.bfloat16),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        text, text,
     )
     variables = model.init(rng, *dummy)
-
-    text = jax.random.normal(jax.random.PRNGKey(1), (16, D), jnp.bfloat16)
 
     @jax.jit
     def eval_episode(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
@@ -61,10 +61,8 @@ def main():
         tgt = episode_device_transform(tgt_u8, key, train=False,
                                        img_size=img, resize_to=256,
                                        dtype=jnp.bfloat16)
-        cs = text[real_sup][:, None, :]
-        tc = text[real_tgt][:, None, :]
-        out = model.apply(variables, sup, tgt, sup_labels, cs, tc,
-                          train=False)
+        out = model.apply(variables, sup, tgt, sup_labels, real_sup,
+                          real_tgt, text, text, train=False)
         return out["logits"]
 
     src = SyntheticEpisodeSource(way=way, shot=shot, queries=queries,

@@ -39,12 +39,17 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
 class CLIPSPMModel(nn.Module):
     """CLIP visual tower + CLIPSPM head (reference: models/model_clipspm.py).
 
-    Call signature (shapes: S=way*shot, Q=way*queries, T=seq_len):
+    Uniform model call signature (shared by every head; shapes:
+    S=way*shot, Q=way*queries, T=seq_len, C=num classes in split):
         support_images: [S, T, H, W, 3] float (0-1)
         target_images: [Q, T, H, W, 3]
-        support_labels: [S] int32
-        context_support: [S, 1, D] gathered text features
-        target_context_support: [Q, 1, D]
+        support_labels: [S] int32 episode-relative
+        real_support_labels: [S] int32 dataset-level (text-table rows)
+        real_target_labels: [Q] int32
+        text_train: [C_train, D] text feature table (zeros for non-CLIP heads)
+        text_test: [C_test, D]
+    The train/test table choice follows the reference's ``self.training``
+    switch (reference: models/model_clipspm.py:116-121).
     Returns dict(logits=[1, Q, way], dists=scalar).
     """
     arch: CLIPArch
@@ -77,7 +82,8 @@ class CLIPSPMModel(nn.Module):
         return feats.reshape(N, T, -1)
 
     def __call__(self, support_images, target_images, support_labels,
-                 context_support, target_context_support, *,
+                 real_support_labels, real_target_labels,
+                 text_train, text_test, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         S, T = support_images.shape[:2]
         Q = target_images.shape[0]
@@ -89,8 +95,11 @@ class CLIPSPMModel(nn.Module):
         dim = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, dim)
         qu = feats[S * T:].reshape(Q, T, dim)
+        table = text_train if train else text_test
+        context_support = table[real_support_labels][:, None, :]
+        target_context = table[real_target_labels][:, None, :]
         return self.head(su, qu, support_labels, context_support,
-                         target_context_support, train=train)
+                         target_context, train=train)
 
 
 # ---------------------------------------------------------------------------
@@ -116,6 +125,19 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
             arch=arch, way=way, shot=shot,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
+    if name == "clipfsar":
+        from .heads.clipfsar import CLIPFSARModel
+
+        m = cfg.MODEL
+        return CLIPFSARModel(
+            arch=CLIP_ARCHS[backbone], way=way, shot=shot, dtype=dtype,
+            transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
+            use_classification=bool(m.get("USE_CLASSIFICATION", True)),
+            single_direct=bool(m.get("SINGLE_DIRECT", False)),
+            merge_before=bool(m.get("MERGE_BEFORE", False)),
+            eval_text=bool(m.get("EVAL_TEXT", False)),
+            combine=bool(m.get("COMBINE", False)),
+            text_coff=float(m.get("TEXT_COFF", 0) or 0.9))
     if name == "sten":
         from .heads.sten import STENModel
 
@@ -136,4 +158,42 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
                         arch=rn_arch, backbone_width=rn_width,
                         dropout=float(cfg.MODEL.get("TRANS_DROPOUT", 0.1)),
                         dtype=dtype)
+    if name == "strm":
+        from .heads.strm import STRMModel
+
+        return STRMModel(way=way, shot=shot, seq_len=seq_len,
+                         temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2,))),
+                         out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
+                                                   1152)),
+                         arch=rn_arch, backbone_width=rn_width,
+                         dropout=float(cfg.MODEL.get("TRANS_DROPOUT", 0.1)),
+                         dtype=dtype)
+    if name == "molo":
+        from .heads.molo import MoLoModel
+
+        m = cfg.MODEL
+        return MoLoModel(
+            way=way, shot=shot, seq_len=seq_len, arch=rn_arch,
+            backbone_width=rn_width, dtype=dtype,
+            num_class=int(cfg.DATA.get("NUM_CLASS", 64)),
+            use_classification=bool(m.get("USE_CLASSIFICATION", True)),
+            use_contrastive=bool(m.get("USE_CONTRASTIVE", True)),
+            temp_coff=float(m.get("TEMP_COFF", 0) or 0),
+            logit_balance=float(m.get("LOGIT_BALANCE_COFF", 0) or 0.3),
+            single_direct=bool(m.get("SINGLE_DIRECT", False)),
+            heads=int(m.get("HEAD", 0) or 8),
+            position_a=float(m.get("POSITION_A", 10.0)),
+            position_b=float(m.get("POSITION_B", 1.0)))
+    if name == "soap":
+        from .heads.soap import SOAPModel
+
+        return SOAPModel(way=way, shot=shot, seq_len=seq_len,
+                         temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2,))),
+                         out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
+                                                   1152)),
+                         horizons=tuple(cfg.MODEL.get("O", (2, 3))),
+                         cr=int(cfg.MODEL.get("cr", 16)),
+                         arch=rn_arch, backbone_width=rn_width,
+                         dropout=float(cfg.MODEL.get("TRANS_DROPOUT", 0.1)),
+                         dtype=dtype)
     raise NotImplementedError(f"model {name!r} not yet implemented")

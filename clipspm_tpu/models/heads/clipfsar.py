@@ -1,0 +1,135 @@
+"""CLIP-FSAR head: joint support⊕text transformer + bidirectional OTAM.
+
+(reference: models/model_clipfsar.py:105-398 — note the reference file as
+shipped cannot run: its imports are commented out, SURVEY §2.8 defect 2; this
+implementation targets the repaired semantics.)
+
+Branches (all reference line refs into models/model_clipfsar.py):
+- train / default eval (:181-237, :337-387): query self-attention through
+  ``context2``; support frames concatenated with the class-text token and
+  passed through the same ``context2``; class-mean prototypes; OTAM(lambda
+  0.5) bidirectional; optional video->text classification logits (:187-192).
+- ``EVAL_TEXT`` (:240-257): text-only logits at eval.
+- ``COMBINE`` (:260-335): fuse text logits with softmaxed visual OTAM scores
+  as ``text^c * visual^(1-c)`` (default c=0.9, :329-333).
+- ``MERGE_BEFORE`` (:203-216): class-merge support before the joint
+  transformer instead of after.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.otam import otam_distance
+from ..backbones.clip import CLIPArch
+from ..blocks import TransformerV1, class_prototypes, cos_sim
+from ..fsar import make_clip_visual
+
+Dtype = Any
+
+
+class CLIPFSARModel(nn.Module):
+    arch: CLIPArch
+    way: int
+    shot: int
+    transformer_depth: int = 1
+    use_classification: bool = True
+    single_direct: bool = False
+    merge_before: bool = False
+    eval_text: bool = False
+    combine: bool = False
+    text_coff: float = 0.9
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.arch.embed_dim
+        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
+                                         name="backbone")
+        self.context2 = TransformerV1(dim=d, heads=8, dim_head_k=d // 8,
+                                      dropout_atte=0.2,
+                                      depth=self.transformer_depth,
+                                      dtype=self.dtype, name="context2")
+        self.scale = self.param("scale", lambda key, shape: jnp.ones(shape),
+                                ())
+
+    def _encode(self, support_images, target_images, train):
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        both = jnp.concatenate(
+            [support_images.reshape((S * T,) + support_images.shape[2:]),
+             target_images.reshape((Q * T,) + target_images.shape[2:])],
+            axis=0).astype(self.dtype)
+        feats = self.backbone(both, train=train)
+        D = feats.shape[-1]
+        return (feats[: S * T].reshape(S, T, D),
+                feats[S * T:].reshape(Q, T, D))
+
+    def _class_logits(self, su, qu, text_train):
+        """video->text classification logits; the reference uses the *train*
+        table even at eval (reference: models/model_clipfsar.py:344)."""
+        feats = jnp.concatenate([su, qu], axis=0).mean(axis=1)
+        return cos_sim(feats.astype(jnp.float32),
+                       text_train.astype(jnp.float32)) * self.scale
+
+    def _visual_cum_dists(self, su, qu, support_labels, context, *, det):
+        """Joint transformer + class merge + OTAM
+        (reference: models/model_clipfsar.py:201-237)."""
+        qu2 = self.context2(qu, qu, qu, deterministic=det)
+        if self.merge_before:
+            su = class_prototypes(su, support_labels, self.way)
+            context = class_prototypes(context, support_labels, self.way)
+            su_cat = jnp.concatenate([su, context], axis=1)
+            su2 = self.context2(su_cat, su_cat, su_cat,
+                                deterministic=det)[:, : qu.shape[1], :]
+        else:
+            su_cat = jnp.concatenate([su, context], axis=1)
+            su2 = self.context2(su_cat, su_cat, su_cat,
+                                deterministic=det)[:, : qu.shape[1], :]
+            su2 = class_prototypes(su2, support_labels, self.way)
+        return otam_distance(su2.astype(jnp.float32),
+                             qu2.astype(jnp.float32), lbda=0.5,
+                             bidirectional=not self.single_direct)
+
+    def _text_logits(self, qu, support_labels, text_gathered):
+        """(reference: models/model_clipfsar.py:243-254)"""
+        text_proto = class_prototypes(text_gathered.astype(jnp.float32),
+                                      support_labels, self.way)
+        img = qu.mean(axis=1).astype(jnp.float32)
+        img = img / jnp.linalg.norm(img, axis=1, keepdims=True)
+        txt = text_proto / jnp.linalg.norm(text_proto, axis=1, keepdims=True)
+        return jax.nn.softmax(self.scale * img @ txt.T, axis=1)
+
+    def __call__(self, support_images, target_images, support_labels,
+                 real_support_labels, real_target_labels,
+                 text_train, text_test, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        det = not train
+        su, qu = self._encode(support_images, target_images, train)
+        table = text_train if train else text_test
+        context = table[real_support_labels][:, None, :].astype(self.dtype)
+        class_logits = self._class_logits(su, qu, text_train)
+
+        if not train and self.eval_text:
+            cum_dists = -self._text_logits(qu, support_labels,
+                                           table[real_support_labels])
+        elif not train and self.combine:
+            text_p = self._text_logits(qu, support_labels,
+                                       table[real_support_labels])
+            cum_v = self._visual_cum_dists(su, qu, support_labels, context,
+                                           det=det)
+            T = qu.shape[1]
+            vis_soft = jax.nn.softmax((T - cum_v) / T, axis=1)
+            cum_dists = -(text_p ** self.text_coff
+                          * vis_soft ** (1.0 - self.text_coff))
+        else:
+            cum_dists = self._visual_cum_dists(su, qu, support_labels,
+                                               context, det=det)
+
+        out = {"logits": -cum_dists[None]}
+        if self.use_classification:
+            out["class_logits"] = class_logits[None]
+        return out

@@ -1,0 +1,159 @@
+"""SOAP head: pixel-space priors + TRX-style temporal cross-attention.
+
+(reference: models/model_soap.py) Three pixel-space excitation modules run
+*before* the backbone (:190-248): TDEM (3-D conv gate over the channel-mean
+volume), CWEM (channel squeeze-excite with a temporal conv), HMEM
+(multi-horizon frame differences mixed back to T frames by ``hm_lin``); then
+the shared TemporalCrossTransformer, plus ``t_loss`` — an inter-support
+spread penalty ``exp(-lambda * mean(pairwise_dist)^2)`` (:15-30).
+
+Repairs vs. the reference (documented deviations):
+- ``cls_d`` creates a fresh random ``nn.Parameter`` per call on the wrong
+  device (SURVEY §2.8 defect 7); here ``lmd`` is a real learned parameter
+  initialised at 0.5.
+- the HMEM modules sit in a plain python list so their convs are never
+  registered/trained in the reference (models/model_soap.py:196-200); here
+  they are proper submodules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..backbones.resnet import TorchResNet
+from .trx import TemporalCrossTransformer
+
+Dtype = Any
+
+
+def soap_t_loss(support_video_means: jnp.ndarray, lmd) -> jnp.ndarray:
+    """(reference: models/model_soap.py:15-30) x: [S, D] per-video means."""
+    x = support_video_means.astype(jnp.float32)
+    diff = x[:, None, :] - x[None, :, :]
+    sq = jnp.maximum(jnp.sum(diff ** 2, axis=-1), 1e-12)
+    dist = jnp.sqrt(sq)
+    mask = 1.0 - jnp.eye(x.shape[0], dtype=dist.dtype)
+    mean = jnp.mean(dist * mask)
+    return jnp.exp(-lmd * mean ** 2)
+
+
+class HMEM(nn.Module):
+    """Multi-horizon frame-difference module (reference:
+    models/model_soap.py:168-188). x: [N, T, H, W, 3] -> [N, h*(T-h), H, W, 3]."""
+    horizon: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, T, H, W, C = x.shape
+        conv = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv")
+        conv_f = conv(x.reshape(N * T, H, W, C)).reshape(N, T, H, W, C)
+        h = self.horizon
+        res = []
+        for i in reversed(range(T - h)):
+            res.append(conv_f[:, i: i + h] - x[:, i: i + h])
+        return jnp.concatenate(res, axis=1)
+
+
+class SOAPPrior(nn.Module):
+    """TDEM + CWEM + HMEM pixel priors (reference: models/model_soap.py:190-248).
+    Operates on [N, T, H, W, 3] clips; returns same shape."""
+    seq_len: int
+    horizons: Sequence[int] = (2, 3)
+    cr: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, clips):
+        N, T, H, W, C = clips.shape
+        sig = jax.nn.sigmoid
+
+        # TDEM: Conv3d over (T, H, W) of the channel-mean volume (:219-224)
+        vol = clips.mean(axis=-1, keepdims=True)         # [N, T, H, W, 1]
+        f = nn.Conv(1, (3, 3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv_st")(vol)
+        tdem = sig(f) * clips + clips
+
+        # CWEM: squeeze-excite with temporal conv (:227-236)
+        g = clips.mean(axis=(2, 3))                      # [N, T, C]
+        g = nn.Dense(self.cr, use_bias=False, dtype=self.dtype,
+                     name="conv_ch1")(g)                 # 1x1 conv == dense
+        g = nn.Conv(self.cr, (3,), padding=1, dtype=self.dtype,
+                    name="conv_ch_1d")(g)                # temporal conv
+        g = nn.Dense(C, use_bias=False, dtype=self.dtype, name="conv_ch2")(g)
+        cwem = sig(g)[:, :, None, None, :] * clips + clips
+
+        # HMEM: multi-horizon diffs -> linear mix back to T frames (:239-244)
+        feats = jnp.concatenate(
+            [HMEM(h, dtype=self.dtype, name=f"hmem_{h}")(clips)
+             for h in self.horizons], axis=1)            # [N, f_cnt, H, W, C]
+        f_cnt = feats.shape[1]
+        flat = feats.reshape(N, f_cnt, -1)
+        mixed = nn.Dense(T, dtype=self.dtype, name="hm_lin")(
+            jnp.swapaxes(flat, 1, 2))
+        mixed = jnp.swapaxes(mixed, 1, 2).reshape(N, T, H, W, C)
+        gate = sig(mixed.mean(axis=(2, 3)))[:, :, None, None, :]
+        hmem = gate * clips + clips
+
+        return clips + tdem + cwem + hmem
+
+
+class SOAPModel(nn.Module):
+    """(reference: models/model_soap.py:253-306)"""
+    way: int
+    shot: int
+    seq_len: int = 8
+    temp_set: Sequence[int] = (2,)
+    out_dim: int = 1152
+    horizons: Sequence[int] = (2, 3)
+    cr: int = 16
+    arch: str = "resnet50"
+    backbone_width: int = 64
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.prior = SOAPPrior(seq_len=self.seq_len, horizons=self.horizons,
+                               cr=self.cr, dtype=self.dtype,
+                               name="tripel_prior")
+        self.backbone = TorchResNet(arch=self.arch, output="pooled",
+                                    width=self.backbone_width,
+                                    dtype=self.dtype, name="backbone")
+        in_dim = self.backbone.feature_dim
+        self.transformers = [
+            TemporalCrossTransformer(
+                way=self.way, shot=self.shot, seq_len=self.seq_len,
+                in_dim=in_dim, out_dim=self.out_dim, set_size=s,
+                dropout=self.dropout, dtype=self.dtype, name=f"tct_{s}")
+            for s in self.temp_set]
+        self.lmd = self.param("lmd", lambda key, shape: jnp.full(shape, 0.5),
+                              ())
+
+    def __call__(self, support_images, target_images, support_labels,
+                 real_support_labels=None, real_target_labels=None,
+                 text_train=None, text_test=None, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        det = not train
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        su_clips = self.prior(support_images.astype(self.dtype))
+        qu_clips = self.prior(target_images.astype(self.dtype))
+
+        both = jnp.concatenate(
+            [su_clips.reshape((S * T,) + su_clips.shape[2:]),
+             qu_clips.reshape((Q * T,) + qu_clips.shape[2:])], axis=0)
+        feats = self.backbone(both, train=train)
+        D = feats.shape[-1]
+        su = feats[: S * T].reshape(S, T, D)
+        qu = feats[S * T:].reshape(Q, T, D)
+
+        t_loss = soap_t_loss(su.mean(axis=1), self.lmd)
+
+        logits = jnp.stack(
+            [t(su, support_labels, qu, deterministic=det)
+             for t in self.transformers], axis=-1).mean(axis=-1)
+        return {"logits": logits[None], "t_loss": t_loss}

@@ -31,7 +31,8 @@ class STENModel(nn.Module):
                                          name="backbone")
 
     def __call__(self, support_images, target_images, support_labels,
-                 context_support, target_context_support=None, *,
+                 real_support_labels, real_target_labels,
+                 text_train, text_test, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         S, T = support_images.shape[:2]
         Q = target_images.shape[0]
@@ -44,7 +45,8 @@ class STENModel(nn.Module):
         su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
         qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)
 
-        t_f = context_support[:, 0, :].astype(jnp.float32)      # [S, D]
+        table = text_train if train else text_test
+        t_f = table[real_support_labels].astype(jnp.float32)     # [S, D]
         t_proto = class_prototypes(t_f, support_labels, self.way)
         s_proto = class_prototypes(su_f.astype(jnp.float32), support_labels,
                                    self.way)

@@ -125,7 +125,8 @@ class TRXModel(nn.Module):
             for s in self.temp_set]
 
     def __call__(self, support_images, target_images, support_labels,
-                 context_support=None, target_context_support=None, *,
+                 real_support_labels=None, real_target_labels=None,
+                 text_train=None, text_test=None, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         S, T = support_images.shape[:2]
         Q = target_images.shape[0]

@@ -111,7 +111,7 @@ class Learner:
     # -- model application ----------------------------------------------------
 
     def _apply(self, params, batch_stats, episode: Episode, rng, *,
-               train: bool, text_table):
+               train: bool, text_train, text_test):
         t = self.transform
         k_t, k_s, k_d = jax.random.split(rng, 3)
         sup = episode_device_transform(
@@ -121,34 +121,31 @@ class Learner:
             episode.target_images, k_t, train=train, img_size=t.img_size,
             resize_to=t.resize_to, flip=t.flip, normalize=t.normalize)
 
-        context_support = text_table[episode.real_support_labels][:, None, :]
-        target_context = text_table[episode.real_target_labels][:, None, :]
-
         variables = {"params": params}
         mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"] if train else False
 
-        kwargs = dict(train=train)
+        args = (sup, tgt, episode.support_labels,
+                episode.real_support_labels, episode.real_target_labels,
+                text_train, text_test)
         if mutable:
             outputs, updated = self.model.apply(
-                variables, sup, tgt, episode.support_labels,
-                context_support, target_context, rngs={"dropout": k_d},
-                mutable=mutable, **kwargs)
+                variables, *args, rngs={"dropout": k_d},
+                mutable=mutable, train=train)
             new_stats = updated["batch_stats"]
         else:
             outputs = self.model.apply(
-                variables, sup, tgt, episode.support_labels,
-                context_support, target_context, rngs={"dropout": k_d},
-                **kwargs)
+                variables, *args, rngs={"dropout": k_d}, train=train)
             new_stats = batch_stats
         return outputs, new_stats
 
     def _episode_loss(self, params, batch_stats, episode, rng, *, train,
-                      text_table):
+                      text_train, text_test):
         outputs, new_stats = self._apply(params, batch_stats, episode, rng,
-                                         train=train, text_table=text_table)
+                                         train=train, text_train=text_train,
+                                         text_test=text_test)
         loss, acc = loss_and_acc(
             self.model_name, outputs, episode.target_labels,
             episode.real_support_labels, episode.real_target_labels,
@@ -171,7 +168,8 @@ class Learner:
 
         def loss_for_grad(params, stats, ep, k):
             return self._episode_loss(params, stats, ep, k, train=True,
-                                      text_table=state.text_train)
+                                      text_train=state.text_train,
+                                      text_test=state.text_test)
 
         vg = jax.value_and_grad(loss_for_grad, has_aux=True)
 
@@ -229,7 +227,7 @@ class Learner:
         rng = jax.random.fold_in(state.rng, 1)
         loss, (acc, _) = self._episode_loss(
             state.params, state.batch_stats, episode, rng, train=False,
-            text_table=state.text_test)
+            text_train=state.text_train, text_test=state.text_test)
         return {"loss": loss, "acc": acc}
 
     # -- public API --------------------------------------------------------------

@@ -104,8 +104,10 @@ def init_model_variables(cfg, model, rng: jax.Array) -> dict:
         jnp.zeros((S, T, img, img, 3), jnp.float32),
         jnp.zeros((Q, T, img, img, 3), jnp.float32),
         jnp.arange(S, dtype=jnp.int32) % way,
-        jnp.zeros((S, 1, dim), jnp.float32),
-        jnp.zeros((Q, 1, dim), jnp.float32),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((1, dim), jnp.float32),
+        jnp.zeros((1, dim), jnp.float32),
     )
     return model.init(rng, *dummy)
 

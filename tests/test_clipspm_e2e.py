@@ -40,14 +40,16 @@ def build_tiny_learner(cfg):
                          spm=dict(cfg.params))
     S, Q = WAY * SHOT, WAY * QUERIES
     D = arch.embed_dim
-    dummy = dict(
-        support_images=jnp.zeros((S, SEQ_LEN, IMG, IMG, 3), jnp.float32),
-        target_images=jnp.zeros((Q, SEQ_LEN, IMG, IMG, 3), jnp.float32),
-        support_labels=jnp.zeros((S,), jnp.int32),
-        context_support=jnp.zeros((S, 1, D), jnp.float32),
-        target_context_support=jnp.zeros((Q, 1, D), jnp.float32),
+    dummy = (
+        jnp.zeros((S, SEQ_LEN, IMG, IMG, 3), jnp.float32),
+        jnp.zeros((Q, SEQ_LEN, IMG, IMG, 3), jnp.float32),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((8, D), jnp.float32),
+        jnp.zeros((8, D), jnp.float32),
     )
-    variables = model.init(jax.random.PRNGKey(0), **dummy)
+    variables = model.init(jax.random.PRNGKey(0), *dummy)
     n_classes = 8
     text = jax.random.normal(jax.random.PRNGKey(1), (n_classes, D))
     train_src = SyntheticEpisodeSource(way=WAY, shot=SHOT, queries=QUERIES,
@@ -98,6 +100,7 @@ def test_logits_contract(learner):
     outputs, _ = learner._apply(learner.state.params,
                                 learner.state.batch_stats, ep,
                                 jax.random.PRNGKey(0), train=False,
-                                text_table=learner.state.text_test)
+                                text_train=learner.state.text_train,
+                                text_test=learner.state.text_test)
     assert outputs["logits"].shape == (1, WAY * QUERIES, WAY)
     assert np.isfinite(np.asarray(outputs["dists"]))

@@ -17,14 +17,20 @@ WAY, SHOT, QUERIES, T, IMG = 2, 2, 2, 3, 32
 S, Q = WAY * SHOT, WAY * QUERIES
 
 
+N_CLASSES = 6
+
+
 def episode_inputs(dim):
     rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(N_CLASSES, dim)), jnp.float32)
     return (
         jnp.asarray(rng.uniform(size=(S, T, IMG, IMG, 3)), jnp.float32),
         jnp.asarray(rng.uniform(size=(Q, T, IMG, IMG, 3)), jnp.float32),
         jnp.asarray([0, 1, 0, 1], jnp.int32),
-        jnp.asarray(rng.normal(size=(S, 1, dim)), jnp.float32),
-        jnp.asarray(rng.normal(size=(Q, 1, dim)), jnp.float32),
+        jnp.asarray([2, 5, 2, 5], jnp.int32),
+        jnp.asarray([2, 5, 2, 5], jnp.int32),
+        table,
+        table,
     )
 
 
@@ -52,10 +58,33 @@ def make_model(name):
 
         return TRXModel(way=WAY, shot=SHOT, seq_len=T, temp_set=(2,),
                         out_dim=32, arch="resnet18", backbone_width=8), 64
+    if name == "clipfsar":
+        from clipspm_tpu.models.heads.clipfsar import CLIPFSARModel
+
+        arch = CLIP_ARCHS["test-tiny"]
+        return CLIPFSARModel(arch=arch, way=WAY, shot=SHOT), arch.embed_dim
+    if name == "strm":
+        from clipspm_tpu.models.heads.strm import STRMModel
+
+        return STRMModel(way=WAY, shot=SHOT, seq_len=T, temp_set=(2,),
+                         out_dim=32, arch="resnet18", backbone_width=8,
+                         num_patches_side=1), 64
+    if name == "molo":
+        from clipspm_tpu.models.heads.molo import MoLoModel
+
+        return MoLoModel(way=WAY, shot=SHOT, seq_len=T, arch="resnet18",
+                         backbone_width=8, num_class=N_CLASSES,
+                         factor=4), 64
+    if name == "soap":
+        from clipspm_tpu.models.heads.soap import SOAPModel
+
+        return SOAPModel(way=WAY, shot=SHOT, seq_len=T, temp_set=(2,),
+                         out_dim=32, horizons=(1, 2), cr=4,
+                         arch="resnet18", backbone_width=8), 64
     raise ValueError(name)
 
 
-HEADS = ["sten", "otam", "trx"]
+HEADS = ["sten", "otam", "trx", "clipfsar", "strm", "molo", "soap"]
 
 
 @pytest.mark.parametrize("name", HEADS)
