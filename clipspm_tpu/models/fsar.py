@@ -196,4 +196,28 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
                          arch=rn_arch, backbone_width=rn_width,
                          dropout=float(cfg.MODEL.get("TRANS_DROPOUT", 0.1)),
                          dtype=dtype)
+    if name == "cpm2c":
+        from .heads.cpm2c import CPM2CModel
+
+        m = cfg.MODEL
+        return CPM2CModel(
+            arch=CLIP_ARCHS[backbone], way=way, shot=shot,
+            params=dict(cfg.params), dtype=dtype,
+            motion_coeff=float(m.get("MOTION_COFF", 0.5)),
+            normal_coeff=float(m.get("NORMAL_COFF", 0.5)),
+            transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
+            use_classification=bool(m.get("USE_CLASSIFICATION", True)),
+            use_contrastive=bool(m.get("USE_CONTRASTIVE", False)),
+            single_direct=bool(m.get("SINGLE_DIRECT", False)),
+            merge_before=bool(m.get("MERGE_BEFORE", False)))
+    if name == "ta2n":
+        from .heads.ta2n import TA2NModel
+
+        m = cfg.MODEL
+        return TA2NModel(
+            way=way, shot=shot, seq_len=seq_len, arch=rn_arch,
+            backbone_width=rn_width, dtype=dtype,
+            dropout=float(m.get("DROPOUT", 0.5)),
+            dist_norm=bool(m.get("DIST_NORM", False)),
+            metric=str(m.get("METRIC", "cos")))
     raise NotImplementedError(f"model {name!r} not yet implemented")

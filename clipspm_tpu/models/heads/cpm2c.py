@@ -1,0 +1,266 @@
+"""CPM2C head: cross-modal prototype modulation with motion consistency.
+
+(reference: models/model_cpm2c.py) Multiscale motion fusion (k=1 / k=3 /
+dilated-3 temporal convs + 1x1 fuse, :166-197), gated text/vision fusion with
+class-token "fake" variants through a joint ``context2`` transformer
+(``text_eh_temporal_transformer``, :330-417), motion+appearance consistency
+distances (:253-279), global token distances (:282-290), OTAM local frame
+alignment (:292-299), video->text classification logits (:419-431), and the
+(bypassed-in-reference) visual prompt generators ``meta_net``/``meta_net_2``
+(:474-492) plus the 6-layer ``TemporalTransformer`` video adapter (:433-459),
+both available behind flags.
+
+The reference requires NNI-tuned ``cfg.params`` keys that run/run.py never
+supplies (SURVEY §2.8 defect 9); ``CPM2C_DEFAULT_PARAMS`` fills them with
+neutral defaults so the model is constructible out of the box.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.otam import otam_distance
+from ..backbones.clip import CLIPArch
+from ..blocks import TransformerV1, class_prototypes, cos_sim
+from ..fsar import make_clip_visual
+
+Dtype = Any
+
+# neutral defaults for the NNI-tuned hyperparameters the reference expects in
+# cfg.params (reference: models/model_cpm2c.py:102-138, run/main_run.py:372)
+CPM2C_DEFAULT_PARAMS: Dict[str, float] = dict(
+    mid_dim_text=1.5, mid_dim_vision=0.5, negative_slope=0.01, alpha=0.2,
+    motion_residual_ratio=0.5, lambdas0=1.0, lambdas1=1.0, lambdas2=0.0,
+    lambdas3=0.0, prompt_patch=16, hid_dim=64, prompt_patch_2=3,
+    prompt_patch_22=3, hid_dim_2=8, prompts_2_weight=0.1,
+    support_prompt_ratio=0.1, target_prompt_ratio=0.1,
+)
+
+
+def _consist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mean over items of squared frobenius norm (reference:
+    models/model_cpm2c.py:254-274)."""
+    diff = (a - b).astype(jnp.float32)
+    return jnp.mean(jnp.sum(diff * diff, axis=(-2, -1)))
+
+
+class CPM2CModel(nn.Module):
+    arch: CLIPArch
+    way: int
+    shot: int
+    params: Mapping[str, float]
+    motion_coeff: float = 0.5
+    normal_coeff: float = 0.5
+    transformer_depth: int = 1
+    use_classification: bool = True
+    use_contrastive: bool = False
+    single_direct: bool = False
+    merge_before: bool = False
+    use_visual_prompts: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.arch.embed_dim
+        p = {**CPM2C_DEFAULT_PARAMS, **dict(self.params)}
+        self.p = p
+        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
+                                         name="backbone")
+        self.context2 = TransformerV1(dim=d, heads=8, dim_head_k=d // 8,
+                                      dropout_atte=0.2,
+                                      depth=self.transformer_depth,
+                                      dtype=self.dtype, name="context2")
+        self.scale = self.param("scale", lambda key, shape: jnp.ones(shape),
+                                ())
+        self.class_token = self.param(
+            "class_token", nn.initializers.normal(1.0), (1, 1, d))
+        self.class_token_motion = self.param(
+            "class_token_motion", nn.initializers.normal(1.0), (1, 1, d))
+        # gating MLPs (reference :103-114)
+        self.gate_text_fc1 = nn.Dense(int(d * p["mid_dim_text"]),
+                                      dtype=self.dtype, name="gate_text_fc1")
+        self.gate_text_fc2 = nn.Dense(d, dtype=self.dtype,
+                                      name="gate_text_fc2")
+        self.gate_vision_fc1 = nn.Dense(int(d * p["mid_dim_vision"]),
+                                        dtype=self.dtype,
+                                        name="gate_vision_fc1")
+        self.gate_vision_fc2 = nn.Dense(d, dtype=self.dtype,
+                                        name="gate_vision_fc2")
+        # multiscale motion convs (reference :135-138)
+        self.motion_conv1_1 = nn.Conv(d, (1,), dtype=self.dtype,
+                                      name="motion_conv1_1")
+        self.motion_conv1_3 = nn.Conv(d, (3,), padding=1, dtype=self.dtype,
+                                      name="motion_conv1_3")
+        self.motion_conv1_5 = nn.Conv(d, (3,), padding=2, kernel_dilation=2,
+                                      dtype=self.dtype, name="motion_conv1_5")
+        self.scale_conv = nn.Conv(d, (1,), dtype=self.dtype,
+                                  name="scale_conv")
+        # visual prompt generators (reference :116-132; bypassed by default)
+        self.meta_fc1 = nn.Dense(int(p["hid_dim"]), dtype=self.dtype,
+                                 name="meta_fc1")
+        self.meta_fc2 = nn.Dense(3 * int(p["prompt_patch"]) ** 2,
+                                 dtype=self.dtype, name="meta_fc2")
+        n2, n22 = int(p["prompt_patch_2"]), int(p["prompt_patch_22"])
+        self.meta_conv1 = nn.Conv(int(p["hid_dim_2"]), (n2, n2),
+                                  padding=(n2 - 1) // 2, dtype=self.dtype,
+                                  name="meta_conv1")
+        self.meta_conv2 = nn.Conv(3, (n22, n22), padding=(n22 - 1) // 2,
+                                  dtype=self.dtype, name="meta_conv2")
+
+    # -- submodules ----------------------------------------------------------
+
+    def _gate_fuse(self, frames, token):
+        """Gated text/vision fusion (reference :339-343)."""
+        gt = nn.leaky_relu(self.gate_text_fc1(token),
+                           negative_slope=self.p["negative_slope"])
+        gt = jax.nn.sigmoid(self.gate_text_fc2(gt))
+        gv = nn.leaky_relu(self.gate_vision_fc1(frames),
+                           negative_slope=self.p["negative_slope"])
+        gv = jax.nn.sigmoid(self.gate_vision_fc2(gv))
+        return token * gt * self.p["alpha"] + frames * gv
+
+    def _fuse_and_transform(self, frames, token, *, det):
+        fused = self._gate_fuse(frames, token)
+        x = jnp.concatenate([jnp.broadcast_to(token, (frames.shape[0], 1,
+                                                      frames.shape[-1])),
+                             fused], axis=1)
+        return self.context2(x, x, x, deterministic=det)
+
+    def _multiscale_motion(self, feats):
+        """(reference :166-197) feats: [N, T, D] -> [N, T-1, D] motion."""
+        f1 = self.motion_conv1_1(feats)
+        f3 = self.motion_conv1_3(feats)
+        f5 = self.motion_conv1_5(feats)
+        fused = self.scale_conv(jnp.concatenate([f1, f3, f5], axis=-1))
+        conv = fused * self.p["motion_residual_ratio"] + feats
+        fwd = conv[:, 1:, :] - feats[:, :-1, :]
+        bwd = conv[:, :-1, :] - feats[:, 1:, :]
+        return 0.5 * (fwd + bwd)
+
+    def _text_eh(self, context_support, su, qu, su_l, token, tcs, *, det):
+        """(reference :330-417)"""
+        d = su.shape[-1]
+        token = token.astype(su.dtype)
+        # real target (consistency reference)
+        qu_contra = self._fuse_and_transform(qu, tcs, det=det)
+        # fake support (consistency reference)
+        su_contra = self._fuse_and_transform(su, token, det=det)
+        # fake target (the features used downstream)
+        qu_out = self._fuse_and_transform(qu, token, det=det)
+        # real support
+        if self.merge_before:
+            su_m = class_prototypes(su, su_l, self.way)
+            cs_m = class_prototypes(context_support, su_l, self.way)
+            su_out = self._fuse_and_transform(su_m, cs_m, det=det)
+            su_pro = su_out
+        else:
+            su_out = self._fuse_and_transform(su, context_support, det=det)
+            su_pro = class_prototypes(su_out, su_l, self.way)
+        return su_out, qu_out, su_pro, su_contra, qu_contra
+
+    def _otam(self, support, query):
+        return otam_distance(support.astype(jnp.float32),
+                             query.astype(jnp.float32), lbda=0.5,
+                             bidirectional=not self.single_direct)
+
+    def _global_distance(self, su_g, su_l, qu):
+        """(reference :319-328) su_g: [S, D]; qu: [Q, T+1, D] -> [way, Q]."""
+        dists = 1 - cos_sim(qu.astype(jnp.float32),
+                            su_g.astype(jnp.float32))      # [Q, T+1, S]
+        per_support = dists.sum(axis=1)                     # [Q, S]
+        per_class = class_prototypes(per_support.T, su_l, self.way) \
+            * jnp.asarray(su_g.shape[0] / self.way, jnp.float32)
+        # reference *sums* over class members (index_select + sum), hence the
+        # rescale of the segment mean by members-per-class
+        if self.use_contrastive:
+            per_class = per_class * self.scale
+        return per_class                                     # [way, Q]
+
+    def get_prompts(self, x):
+        """Visual prompt generators (reference :474-492); x: [N, H, W, 3]."""
+        N, H, W, C = x.shape
+        n = int(self.p["prompt_patch"])
+        hp, wp = H // n, W // n
+        patches = x.reshape(N, hp, n, wp, n, C).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(N * hp * wp, n * n * C)
+        local = self.meta_fc2(nn.relu(self.meta_fc1(patches)))
+        local = local.reshape(N, hp, wp, n, n, C).transpose(0, 1, 3, 2, 4, 5)
+        local = local.reshape(N, H, W, C)
+        glob = self.meta_conv2(nn.relu(self.meta_conv1(x)))
+        return local + self.p["prompts_2_weight"] * glob
+
+    # -- forward -------------------------------------------------------------
+
+    def __call__(self, support_images, target_images, support_labels,
+                 real_support_labels, real_target_labels,
+                 text_train, text_test, *,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        det = not train
+        S, T = support_images.shape[:2]
+        Q = target_images.shape[0]
+        if self.use_visual_prompts:
+            sup_f = support_images.reshape((S * T,) + support_images.shape[2:])
+            tgt_f = target_images.reshape((Q * T,) + target_images.shape[2:])
+            sup_f = sup_f + self.get_prompts(sup_f) \
+                * self.p["support_prompt_ratio"]
+            tgt_f = tgt_f + self.get_prompts(tgt_f) \
+                * self.p["target_prompt_ratio"]
+            support_images = sup_f.reshape(support_images.shape)
+            target_images = tgt_f.reshape(target_images.shape)
+
+        both = jnp.concatenate(
+            [support_images.reshape((S * T,) + support_images.shape[2:]),
+             target_images.reshape((Q * T,) + target_images.shape[2:])],
+            axis=0).astype(self.dtype)
+        feats = self.backbone(both, train=train)
+        D = feats.shape[-1]
+        su = feats[: S * T].reshape(S, T, D)
+        qu = feats[S * T:].reshape(Q, T, D)
+
+        table = text_train if train else text_test
+        cs = table[real_support_labels][:, None, :].astype(self.dtype)
+        tcs = table[real_target_labels][:, None, :].astype(self.dtype)
+
+        su_mo = self._multiscale_motion(su)
+        qu_mo = self._multiscale_motion(qu)
+
+        # video->text classification (reference :419-431)
+        class_logits = None
+        if self.use_classification:
+            pooled = jnp.concatenate([su, qu], axis=0).mean(axis=1)
+            class_logits = cos_sim(pooled.astype(jnp.float32),
+                                   text_train.astype(jnp.float32)) * self.scale
+
+        su_mo2, qu_mo2, su_mo_pro, su_mo_c, qu_mo_c = self._text_eh(
+            cs, su_mo, qu_mo, support_labels, self.class_token_motion, tcs,
+            det=det)
+        su2, qu2, su_pro, su_c, qu_c = self._text_eh(
+            cs, su, qu, support_labels, self.class_token, tcs, det=det)
+
+        consist_motion = _consist(qu_mo2, qu_mo_c) + _consist(su_mo2, su_mo_c)
+        consist = _consist(qu2, qu_c) + _consist(su2, su_c)
+        consist_total = (self.normal_coeff * consist
+                         + self.motion_coeff * consist_motion)
+
+        g_motion = self._global_distance(su_mo2[:, 0, :], support_labels,
+                                         qu_mo2)
+        g_normal = self._global_distance(su2[:, 0, :], support_labels, qu2)
+        class_dists_g = (self.normal_coeff * g_normal
+                         + self.motion_coeff * g_motion).T      # [Q, way]
+
+        cum = self._otam(su_pro[:, 1:, :], qu2[:, 1:, :])
+        cum_mo = self._otam(su_mo_pro[:, 1:, :], qu_mo2[:, 1:, :])
+        class_dists_l = self.normal_coeff * cum + self.motion_coeff * cum_mo
+
+        out = {
+            "logits_local": -class_dists_l[None],
+            "logits_global": -class_dists_g[None],
+            "target_consist_distance": consist_total,
+            "logits": -class_dists_l[None],   # default accuracy stream
+        }
+        if class_logits is not None:
+            out["class_logits"] = class_logits[None]
+        return out

@@ -81,10 +81,23 @@ def make_model(name):
         return SOAPModel(way=WAY, shot=SHOT, seq_len=T, temp_set=(2,),
                          out_dim=32, horizons=(1, 2), cr=4,
                          arch="resnet18", backbone_width=8), 64
-    raise ValueError(name)
+    if name == "cpm2c":
+        from clipspm_tpu.models.heads.cpm2c import CPM2CModel
+        from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
+
+        arch = CLIP_ARCHS["test-tiny"]
+        return (CPM2CModel(arch=arch, way=WAY, shot=SHOT,
+                           params=SPM_DEFAULT_PARAMS["hmdb"]),
+                arch.embed_dim)
+    if name == "ta2n":
+        from clipspm_tpu.models.heads.ta2n import TA2NModel
+
+        return TA2NModel(way=WAY, shot=SHOT, seq_len=T, arch="resnet18",
+                         backbone_width=8), 64
 
 
-HEADS = ["sten", "otam", "trx", "clipfsar", "strm", "molo", "soap"]
+HEADS = ["sten", "otam", "trx", "clipfsar", "strm", "molo", "soap",
+         "cpm2c", "ta2n"]
 
 
 @pytest.mark.parametrize("name", HEADS)
