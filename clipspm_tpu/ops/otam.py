@@ -157,7 +157,7 @@ def frame_distance_cos(query: jnp.ndarray, support: jnp.ndarray,
 
 def otam_distance(support: jnp.ndarray, query: jnp.ndarray,
                   lbda: float = 0.5, bidirectional: bool = True,
-                  epsilon: float = 0.01) -> jnp.ndarray:
+                  epsilon: float = 0.01, backend: str = "scan") -> jnp.ndarray:
     """End-to-end OTAM matching distance used by every CLIP head.
 
     (reference: models/model_clipspm.py:348-362 ``otam_distance``)
@@ -169,8 +169,12 @@ def otam_distance(support: jnp.ndarray, query: jnp.ndarray,
         ``[Q, S]`` cumulative distances; bidirectional sums the DP over the
         table and its transpose (reference: models/model_clipspm.py:361).
     """
+    if backend == "pallas":
+        from .otam_pallas import otam_cum_dist_pallas as dp
+    else:
+        dp = otam_cum_dist
     tables = frame_distance_cos(query, support, epsilon)
-    cum = otam_cum_dist(tables, lbda)
+    cum = dp(tables, lbda)
     if bidirectional:
-        cum = cum + otam_cum_dist(jnp.swapaxes(tables, -2, -1), lbda)
+        cum = cum + dp(jnp.swapaxes(tables, -2, -1), lbda)
     return cum
