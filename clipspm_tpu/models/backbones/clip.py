@@ -80,7 +80,8 @@ class FP32LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        out = nn.LayerNorm(dtype=jnp.float32, name="ln")(x.astype(jnp.float32))
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name="ln")(x.astype(jnp.float32))
         return out.astype(orig)
 
 

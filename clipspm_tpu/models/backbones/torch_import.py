@@ -51,7 +51,7 @@ def infer_arch_from_state_dict(sd: Dict[str, Any]) -> CLIPArch:
         context_length=sd["positional_embedding"].shape[0],
         vocab_size=sd["token_embedding.weight"].shape[0],
         transformer_width=sd["ln_final.weight"].shape[0],
-        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_heads=max(1, sd["ln_final.weight"].shape[0] // 64),
         transformer_layers=len({k.split(".")[2] for k in sd
                                 if k.startswith("transformer.resblocks")}),
     )

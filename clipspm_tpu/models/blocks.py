@@ -189,7 +189,7 @@ class TransformerV1(nn.Module):
     def __call__(self, q, k, v, *, deterministic: bool = True):
         x = q
         for i in range(self.depth):
-            ln = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}")
             attn = AttentionQKV(self.dim, heads=self.heads,
                                 dim_head=self.dim_head_k,
                                 dropout=self.dropout_atte, dtype=self.dtype,
@@ -218,7 +218,7 @@ class TransformerV2(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         for i in range(self.depth):
-            ln = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}")
             attn = SelfAttention(self.dim, heads=self.heads,
                                  dim_head=self.dim_head_k,
                                  dropout=self.dropout_atte, dtype=self.dtype,

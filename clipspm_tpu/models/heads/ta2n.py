@@ -241,7 +241,7 @@ class TA2NModel(nn.Module):
                                            dtype=self.dtype,
                                            name="valuenet_multi")
         if self.dist_norm:
-            self.norm_layer = nn.LayerNorm(dtype=jnp.float32,
+            self.norm_layer = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                            name="norm_layer")
 
     def _insupport_align(self, support):

@@ -74,7 +74,7 @@ class TemporalCrossTransformer(nn.Module):
 
         k_linear = nn.Dense(self.out_dim, dtype=self.dtype, name="k_linear")
         v_linear = nn.Dense(self.out_dim, dtype=self.dtype, name="v_linear")
-        norm_k = nn.LayerNorm(dtype=jnp.float32, name="norm_k")
+        norm_k = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_k")
 
         s_k = norm_k(k_linear(s_t)).astype(jnp.float32)
         q_k = norm_k(k_linear(q_t)).astype(jnp.float32)

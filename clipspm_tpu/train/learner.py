@@ -107,6 +107,7 @@ class Learner:
 
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_batch = jax.jit(self._eval_batch_impl)
 
     # -- model application ----------------------------------------------------
 
@@ -230,6 +231,26 @@ class Learner:
             text_train=state.text_train, text_test=state.text_test)
         return {"loss": loss, "acc": acc}
 
+    def _eval_batch_impl(self, state: TrainState, batch: Episode):
+        """Batched multi-episode eval: vmap over the episode axis (sharded
+        over the mesh dp axis when present) — the fused decode->transform->
+        encode->match pipeline across episodes."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = NamedSharding(self.mesh, P("dp"))
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, spec), batch)
+        rng = jax.random.fold_in(state.rng, 1)
+
+        def one(ep):
+            loss, (acc, _) = self._episode_loss(
+                state.params, state.batch_stats, ep, rng, train=False,
+                text_train=state.text_train, text_test=state.text_test)
+            return loss, acc
+
+        losses, accs = jax.vmap(one)(batch)
+        return {"loss": losses, "acc": accs}
+
     # -- public API --------------------------------------------------------------
 
     def train_episodes(self, episodes) -> Dict[str, float]:
@@ -244,16 +265,36 @@ class Learner:
         return {k: float(v) for k, v in metrics.items()}
 
     def evaluate(self, n_episodes: int,
-                 source: Optional[Iterator[Episode]] = None) -> Dict[str, float]:
-        """(reference: run/main_run.py:256-293)"""
+                 source: Optional[Iterator[Episode]] = None,
+                 batch_size: int = 1) -> Dict[str, float]:
+        """(reference: run/main_run.py:256-293)
+
+        ``batch_size > 1`` evaluates multiple episodes per device step
+        (vmapped, mesh-sharded) — the reference has no equivalent; its eval
+        loop is strictly one episode per iteration.
+        """
+        from ..data.episode import stack_episodes
+
         source = source or self.test_source
         accs, losses = [], []
         it = iter(source)
-        for _ in range(n_episodes):
-            ep = _device_episode(next(it))
-            m = self._eval_step(self.state, ep)
-            accs.append(float(m["acc"]))
-            losses.append(float(m["loss"]))
+        done = 0
+        while done < n_episodes:
+            if batch_size > 1:
+                n = min(batch_size, n_episodes - done)
+                eps = [_device_episode(next(it)) for _ in range(n)]
+                if n < batch_size:  # keep shapes static
+                    eps += [eps[-1]] * (batch_size - n)
+                m = self._eval_batch(self.state, stack_episodes(eps))
+                accs.extend(np.asarray(m["acc"])[:n].tolist())
+                losses.extend(np.asarray(m["loss"])[:n].tolist())
+                done += n
+            else:
+                ep = _device_episode(next(it))
+                m = self._eval_step(self.state, ep)
+                accs.append(float(m["acc"]))
+                losses.append(float(m["loss"]))
+                done += 1
         accs_arr = np.asarray(accs)
         return {
             "accuracy": float(accs_arr.mean() * 100.0),

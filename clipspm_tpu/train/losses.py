@@ -102,8 +102,16 @@ def loss_and_acc(model_name: str, outputs: Dict[str, jnp.ndarray],
         return loss, aggregate_accuracy(logits, target_labels)
 
     if model_name == "cpm2c":
-        p = cfg.params
-        lambdas = [p["lambdas0"], p["lambdas1"], p["lambdas2"], p["lambdas3"]]
+        # the reference loss reads NNI-injected cfg.params lambdas
+        # (run/main_run.py:372) while the shipped configs carry MODEL.LMD
+        # (configs/cpm2c/*.yaml) — honor MODEL.LMD when present
+        if cfg is not None and "LMD" in cfg.MODEL:
+            lmd_cfg = list(cfg.MODEL.LMD)
+            lambdas = (lmd_cfg + [0.0] * 4)[:4]
+        else:
+            p = cfg.params
+            lambdas = [p.get("lambdas0", 1.0), p.get("lambdas1", 1.0),
+                       p.get("lambdas2", 0.0), p.get("lambdas3", 0.0)]
         both_real = jnp.concatenate([real_support_labels,
                                      real_target_labels], axis=0)
         total_logits = (lambdas[1] * outputs["logits_local"]

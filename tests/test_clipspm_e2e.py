@@ -93,6 +93,15 @@ def test_evaluate_protocol(learner):
     assert np.isfinite(res["loss"])
 
 
+def test_batched_eval_matches_sequential(learner):
+    # same episodes through the vmapped batch path and the per-episode path
+    eps = [learner.test_source.sample() for _ in range(4)]
+    seq = learner.evaluate(4, source=iter(eps), batch_size=1)
+    bat = learner.evaluate(4, source=iter(eps), batch_size=2)
+    np.testing.assert_allclose(seq["accuracy"], bat["accuracy"], atol=1e-4)
+    np.testing.assert_allclose(seq["loss"], bat["loss"], rtol=1e-4)
+
+
 def test_logits_contract(learner):
     """Heads return logits [1, Q, way] (reference: models/model_clipspm.py:141)."""
     src = iter(learner.train_source)

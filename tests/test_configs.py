@@ -1,0 +1,31 @@
+"""Every shipped config loads, resolves class names, and builds its model."""
+
+import glob
+import os
+
+import pytest
+
+from clipspm_tpu.utils.config import load_config
+from clipspm_tpu.models.fsar import build_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "*", "*.yaml")))
+
+CLIP_HEADS = {"clipspm", "clipfsar", "cpm2c", "sten"}
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: "/".join(p.split("/")[-2:]))
+def test_config_loads_and_builds(path):
+    cfg = load_config(path, splits_root=REPO)
+    name = cfg.MODEL.NAME
+    assert name in {"clipspm", "clipfsar", "cpm2c", "sten", "otam", "trx",
+                    "strm", "molo", "soap", "ta2n"}
+    if name in CLIP_HEADS:
+        assert len(cfg.TRAIN.CLASS_NAME) > 0
+        assert len(cfg.TEST.CLASS_NAME) > 0
+    # model construction is cheap (flax modules are dataclasses)
+    model = build_model(cfg)
+    assert model is not None
+    assert cfg.TRAIN.WAY == 5
+    assert cfg.DATA.SEQ_LEN == 8
