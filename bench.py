@@ -92,6 +92,21 @@ def main():
     p50_ms = float(np.median(lat) * 1e3)
     frames_per_sec = eps_per_sec * (S + Q) * T
 
+    # batched multi-episode eval (BASELINE config #5): E episodes vmapped
+    # into one device step — amortizes the per-call tunnel/launch latency
+    E = 4 if quick else 8
+    batched = jax.jit(jax.vmap(eval_episode, in_axes=(None,) + (0,) * 5
+                               + (None,)))
+    staged = [jax.device_put(jnp.stack([episodes[i % n_staged][j]
+                                        for i in range(E)]))
+              for j in range(5)]
+    batched(variables, *staged, key).block_until_ready()
+    n_b = max(2, n_iters // E)
+    t0 = time.perf_counter()
+    for _ in range(n_b):
+        batched(variables, *staged, key).block_until_ready()
+    batched_eps_per_sec = n_b * E / (time.perf_counter() - t0)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     if os.path.exists(baseline_path):
@@ -112,6 +127,7 @@ def main():
         "vs_baseline": round(eps_per_sec / baseline, 3),
         "extras": {"p50_episode_latency_ms": round(p50_ms, 2),
                    "frames_per_sec": round(frames_per_sec, 1),
+                   "batched_eval_eps_per_sec": round(batched_eps_per_sec, 3),
                    "device": str(jax.devices()[0])},
     }))
 

@@ -32,19 +32,41 @@ def _decode_image(path: str) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def probe_frame_size(catalog: SplitCatalog) -> Optional[tuple]:
+    """(H, W) of the first frame in the catalog (None when empty)."""
+    for rec in catalog.records:
+        if rec.frame_paths:
+            h, w = _decode_image(rec.frame_paths[0]).shape[:2]
+            return (h, w)
+    return None
+
+
 def decode_plan(plan: EpisodePlan, catalog: SplitCatalog,
-                pool: Optional[cf.ThreadPoolExecutor] = None) -> Episode:
-    """Decode every frame of an episode plan into a uint8 Episode."""
+                pool: Optional[cf.ThreadPoolExecutor] = None,
+                frame_size: Optional[tuple] = None,
+                native_threads: int = 8) -> Episode:
+    """Decode every frame of an episode plan into a uint8 Episode.
+
+    With ``frame_size`` (the benchmark dumps are uniform 256x256), the whole
+    frame list goes through the native C++ batch decoder
+    (data/native_decode.py); otherwise per-frame PIL in the thread pool.
+    """
     sup_paths = plan.frame_paths(catalog, "support")
     tgt_paths = plan.frame_paths(catalog, "target")
 
     def decode_clips(path_lists: List[List[str]]) -> np.ndarray:
         flat = [p for clip in path_lists for p in clip]
+        t = len(path_lists[0])
+        if frame_size is not None:
+            from .native_decode import decode_frames
+
+            arr = decode_frames(flat, frame_size[0], frame_size[1],
+                                n_threads=native_threads)
+            return arr.reshape((len(path_lists), t) + arr.shape[1:])
         if pool is not None:
             frames = list(pool.map(_decode_image, flat))
         else:
             frames = [_decode_image(p) for p in flat]
-        t = len(path_lists[0])
         arr = np.stack(frames)
         return arr.reshape((len(path_lists), t) + arr.shape[1:])
 
@@ -68,9 +90,10 @@ class EpisodeLoader:
     """
 
     def __init__(self, sampler: EpisodeSampler, num_workers: int = 8,
-                 prefetch: int = 4):
+                 prefetch: int = 4, use_native: bool = True):
         self.sampler = sampler
         self.catalog = sampler.catalog
+        self.frame_size = probe_frame_size(self.catalog) if use_native else None
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self._queue: "queue.Queue[Episode]" = queue.Queue(self.prefetch)
@@ -82,7 +105,9 @@ class EpisodeLoader:
     def _producer(self):
         while not self._stop.is_set():
             plan = self.sampler.sample()
-            ep = decode_plan(plan, self.catalog, self._pool)
+            ep = decode_plan(plan, self.catalog, self._pool,
+                             frame_size=self.frame_size,
+                             native_threads=self.num_workers)
             while not self._stop.is_set():
                 try:
                     self._queue.put(ep, timeout=0.5)
