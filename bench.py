@@ -76,16 +76,17 @@ def main():
             ep.real_support_labels, ep.real_target_labels)))
 
     key = jax.random.PRNGKey(2)
-    # warmup / compile
-    eval_episode(variables, *episodes[0], key).block_until_ready()
+    # warmup / compile (fetch a scalar: block_until_ready is a no-op on
+    # tunneled remote platforms, a host fetch is a true sync)
+    float(eval_episode(variables, *episodes[0], key).sum())
 
     n_iters = 10 if quick else 50
     lat = []
     t0 = time.perf_counter()
     for i in range(n_iters):
         t1 = time.perf_counter()
-        eval_episode(variables, *episodes[i % n_staged],
-                     key).block_until_ready()
+        float(eval_episode(variables, *episodes[i % n_staged],
+                           key).sum())
         lat.append(time.perf_counter() - t1)
     total = time.perf_counter() - t0
     eps_per_sec = n_iters / total
@@ -100,11 +101,11 @@ def main():
     staged = [jax.device_put(jnp.stack([episodes[i % n_staged][j]
                                         for i in range(E)]))
               for j in range(5)]
-    batched(variables, *staged, key).block_until_ready()
+    float(batched(variables, *staged, key).sum())
     n_b = max(2, n_iters // E)
     t0 = time.perf_counter()
     for _ in range(n_b):
-        batched(variables, *staged, key).block_until_ready()
+        float(batched(variables, *staged, key).sum())
     batched_eps_per_sec = n_b * E / (time.perf_counter() - t0)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

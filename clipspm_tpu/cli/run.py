@@ -59,6 +59,9 @@ def main(argv=None):
         learner.state = payload["state"]
         log(f"Resumed from episode {int(payload['meta']['iteration'])}")
 
+    from clipspm_tpu.utils.metrics import MetricsWriter
+
+    metrics = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"))
     if cfg.TEST.ONLY_TEST:
         log("Conduct Testing:")
         if manager.exists("best"):
@@ -66,10 +69,17 @@ def main(argv=None):
         res = learner.evaluate(int(cfg.TEST.TEST_EPISODES))
         log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "
             f"+/- {res['confidence']:.2f} (loss {res['loss']:.4f})")
+        metrics.scalars({f"TEST/{cfg.DATA.DATASET}_acc": res["accuracy"],
+                         f"TEST/{cfg.DATA.DATASET}_ci": res["confidence"]}, 0)
     else:
         log("Conduct Training:")
-        learner.run(checkpoint_fn=lambda ep, acc: manager.save(
-            learner.state, "best", best_acc=acc))
+        learner.run(
+            checkpoint_fn=lambda ep, acc: manager.save(
+                learner.state, "best", best_acc=acc),
+            periodic_checkpoint_fn=lambda ep: manager.save(
+                learner.state, f"iter_{ep}"),
+            metrics=metrics)
+    metrics.close()
     logfile.close()
 
 

@@ -306,14 +306,17 @@ class Learner:
             val_freq: Optional[int] = None,
             test_episodes: Optional[int] = None,
             print_freq: Optional[int] = None,
-            checkpoint_fn: Optional[Callable[[int, float], None]] = None
-            ) -> Dict[str, float]:
-        """Training loop with periodic eval (reference: run/main_run.py:179-243)."""
+            checkpoint_fn: Optional[Callable[[int, float], None]] = None,
+            periodic_checkpoint_fn: Optional[Callable[[int], None]] = None,
+            metrics=None, eval_batch_size: int = 1) -> Dict[str, float]:
+        """Training loop with periodic eval/checkpoints
+        (reference: run/main_run.py:179-243)."""
         cfg = self.cfg
         total = train_episodes or int(cfg.TRAIN.TRAIN_EPISODES)
         val_freq = val_freq or int(cfg.TRAIN.VAL_FREQ)
         test_eps = test_episodes or int(cfg.TEST.TEST_EPISODES)
         print_freq = print_freq or int(cfg.TRAIN.PRINT_FREQ)
+        save_freq = int(cfg.get("CHECKPOINT", {}).get("SAVE_FREQ", 0) or 0)
         tpb = self.tasks_per_batch
 
         it = iter(self.train_source)
@@ -329,21 +332,38 @@ class Learner:
             episode = int(self.state.episode)
             window_loss.append(m["loss"])
             window_acc.append(m["acc"])
+            if metrics is not None:
+                metrics.scalars({"loss/Train_loss[it]": m["loss"],
+                                 "acc/Train_acc[it]": m["acc"]}, episode)
 
             if episode % print_freq < tpb:
                 self.log(f"Task [{episode}/{total}], Train Loss: "
                          f"{np.mean(window_loss):.7f}, Train Accuracy: "
                          f"{np.mean(window_acc):.7f}")
+                if metrics is not None:
+                    metrics.scalars(
+                        {"loss/Train_loss[mean]": float(np.mean(window_loss)),
+                         "acc/Train_acc[mean]": float(np.mean(window_acc))},
+                        episode // print_freq)
                 window_loss, window_acc = [], []
 
+            if save_freq and periodic_checkpoint_fn \
+                    and episode % save_freq < tpb and episode < total:
+                periodic_checkpoint_fn(episode)
+
             if val_freq and episode % val_freq < tpb and episode < total:
-                res = self.evaluate(test_eps)
+                res = self.evaluate(test_eps, batch_size=eval_batch_size)
                 self.log(f"Val @ {episode}: acc {res['accuracy']:.2f} "
                          f"+/- {res['confidence']:.2f}")
                 if res["accuracy"] > best_acc:
                     best_acc = res["accuracy"]
                     if checkpoint_fn:
                         checkpoint_fn(episode, best_acc)
+                if metrics is not None:
+                    metrics.scalars(
+                        {"loss/Test_loss": res["loss"],
+                         "acc/Test_acc": res["accuracy"],
+                         "acc/Best_acc": best_acc}, episode // val_freq)
         return {"best_accuracy": best_acc, "episodes": episode}
 
 
