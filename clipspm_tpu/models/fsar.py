@@ -22,6 +22,15 @@ from .heads.clipspm import CLIPSPM
 Dtype = Any
 
 
+class IdentityBackbone(nn.Module):
+    """Feature pass-through for parity tests: treats the 'image' tensor as
+    pre-extracted features [N, ..., D] -> [N, D]."""
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        return x.reshape(x.shape[0], -1)
+
+
 def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
                      name: str = "visual") -> nn.Module:
     if arch.is_vit:

@@ -44,11 +44,13 @@ class CLIPFSARModel(nn.Module):
     combine: bool = False
     text_coff: float = 0.9
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None    # parity tests inject IdentityBackbone
 
     def setup(self):
         d = self.arch.embed_dim
-        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
-                                         name="backbone")
+        self.backbone = (self.backbone_override
+                         or make_clip_visual(self.arch, dtype=self.dtype,
+                                             name="backbone"))
         self.context2 = TransformerV1(dim=d, heads=8, dim_head_k=d // 8,
                                       dropout_atte=0.2,
                                       depth=self.transformer_depth,
