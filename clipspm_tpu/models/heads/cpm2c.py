@@ -61,14 +61,17 @@ class CPM2CModel(nn.Module):
     single_direct: bool = False
     merge_before: bool = False
     use_visual_prompts: bool = False
+    use_video_adapter: bool = False
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
         d = self.arch.embed_dim
         p = {**CPM2C_DEFAULT_PARAMS, **dict(self.params)}
         self.p = p
-        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
-                                         name="backbone")
+        self.backbone = (self.backbone_override
+                         or make_clip_visual(self.arch, dtype=self.dtype,
+                                             name="backbone"))
         self.context2 = TransformerV1(dim=d, heads=8, dim_head_k=d // 8,
                                       dropout_atte=0.2,
                                       depth=self.transformer_depth,
@@ -109,6 +112,17 @@ class CPM2CModel(nn.Module):
                                   name="meta_conv1")
         self.meta_conv2 = nn.Conv(3, (n22, n22), padding=(n22 - 1) // 2,
                                   dtype=self.dtype, name="meta_conv2")
+        if self.use_video_adapter:
+            # 6-layer CLIP-style temporal transformer video->text adapter
+            # with frame position embeddings (reference :94-99, :433-459,
+            # :494-544; bypassed in the shipped forward)
+            from ..backbones.clip import TransformerStack
+
+            self.frame_position_embeddings = nn.Embed(
+                77, d, dtype=self.dtype, name="frame_position_embeddings")
+            self.temporal_transformer = TransformerStack(
+                d, 6, max(1, 512 // 64), dtype=self.dtype,
+                name="temporal_transformer")
 
     # -- submodules ----------------------------------------------------------
 
@@ -227,12 +241,23 @@ class CPM2CModel(nn.Module):
         su_mo = self._multiscale_motion(su)
         qu_mo = self._multiscale_motion(qu)
 
-        # video->text classification (reference :419-431)
+        # video->text classification against the *active* split's table
+        # (reference :419-431 — unlike clipfsar, which always uses train)
         class_logits = None
         if self.use_classification:
-            pooled = jnp.concatenate([su, qu], axis=0).mean(axis=1)
+            feats = jnp.concatenate([su, qu], axis=0)
+            if self.use_video_adapter:
+                # residual temporal transformer over frames (reference
+                # :440-455) before pooling
+                pos = self.frame_position_embeddings(
+                    jnp.arange(feats.shape[1], dtype=jnp.int32))
+                h = feats + pos[None].astype(feats.dtype)
+                h = self.temporal_transformer(h) + feats
+                pooled = h.mean(axis=1)
+            else:
+                pooled = feats.mean(axis=1)
             class_logits = cos_sim(pooled.astype(jnp.float32),
-                                   text_train.astype(jnp.float32)) * self.scale
+                                   table.astype(jnp.float32)) * self.scale
 
         su_mo2, qu_mo2, su_mo_pro, su_mo_c, qu_mo_c = self._text_eh(
             cs, su_mo, qu_mo, support_labels, self.class_token_motion, tcs,

@@ -120,9 +120,10 @@ class MoLoModel(nn.Module):
     position_b: float = 1.0
     factor: int = 8
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
-        self.backbone = TorchResNet(arch=self.arch, output="spatial",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         d = self.backbone.feature_dim

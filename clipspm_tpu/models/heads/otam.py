@@ -81,9 +81,10 @@ class OTAMModel(nn.Module):
     arch: str = "resnet50"
     backbone_width: int = 64
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
-        self.backbone = TorchResNet(arch=self.arch, output="spatial",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         dim = self.backbone.feature_dim

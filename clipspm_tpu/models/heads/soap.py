@@ -115,12 +115,13 @@ class SOAPModel(nn.Module):
     backbone_width: int = 64
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
         self.prior = SOAPPrior(seq_len=self.seq_len, horizons=self.horizons,
                                cr=self.cr, dtype=self.dtype,
                                name="tripel_prior")
-        self.backbone = TorchResNet(arch=self.arch, output="pooled",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="pooled",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         in_dim = self.backbone.feature_dim

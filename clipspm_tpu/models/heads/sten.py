@@ -25,10 +25,12 @@ class STENModel(nn.Module):
     way: int
     shot: int
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
-        self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
-                                         name="backbone")
+        self.backbone = (self.backbone_override
+                         or make_clip_visual(self.arch, dtype=self.dtype,
+                                             name="backbone"))
 
     def __call__(self, support_images, target_images, support_labels,
                  real_support_labels, real_target_labels,

@@ -152,9 +152,10 @@ class STRMModel(nn.Module):
     num_patches_side: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
-        self.backbone = TorchResNet(arch=self.arch, output="spatial",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         in_dim = self.backbone.feature_dim

@@ -53,11 +53,12 @@ def temporal_grid_sample(feats: jnp.ndarray, coords: jnp.ndarray
     T = feats.shape[1]
     pos = (coords + 1.0) * 0.5 * (T - 1)
     lo = jnp.floor(pos)
+    hi = lo + 1.0
     w = pos - lo
     lo_i = jnp.clip(lo.astype(jnp.int32), 0, T - 1)
-    hi_i = jnp.clip(lo_i + 1, 0, T - 1)
+    hi_i = jnp.clip(hi.astype(jnp.int32), 0, T - 1)
     valid_lo = (lo >= 0) & (lo <= T - 1)
-    valid_hi = (lo + 1 >= 0) & (lo + 1 <= T - 1)
+    valid_hi = (hi >= 0) & (hi <= T - 1)
 
     def gather(f, idx):
         return jnp.take_along_axis(
@@ -218,9 +219,10 @@ class TA2NModel(nn.Module):
     first_stage: bool = True
     second_stage: bool = True
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
-        self.backbone = TorchResNet(arch=self.arch, output="spatial",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         d = self.backbone.feature_dim

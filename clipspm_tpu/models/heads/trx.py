@@ -49,6 +49,7 @@ class TemporalCrossTransformer(nn.Module):
     set_size: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     @nn.compact
     def __call__(self, support, support_labels, queries, *,
@@ -113,7 +114,7 @@ class TRXModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.backbone = TorchResNet(arch=self.arch, output="pooled",
+        self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="pooled",
                                     width=self.backbone_width,
                                     dtype=self.dtype, name="backbone")
         in_dim = self.backbone.feature_dim
