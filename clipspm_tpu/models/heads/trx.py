@@ -49,7 +49,6 @@ class TemporalCrossTransformer(nn.Module):
     set_size: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
-    backbone_override: Any = None
 
     @nn.compact
     def __call__(self, support, support_labels, queries, *,
@@ -112,6 +111,7 @@ class TRXModel(nn.Module):
     backbone_width: int = 64
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    backbone_override: Any = None
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="pooled",
