@@ -16,33 +16,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .backbones.clip import CLIP_ARCHS, CLIPArch, ModifiedResNet, VisionTransformer
+from .backbones.clip import CLIP_ARCHS, CLIPArch
+from .visual import IdentityBackbone, make_clip_visual  # noqa: F401 (re-export)
 from .heads.clipspm import CLIPSPM
 
 Dtype = Any
-
-
-class IdentityBackbone(nn.Module):
-    """Feature pass-through for parity tests: treats the 'image' tensor as
-    pre-extracted features [N, ..., D] -> [N, D]."""
-
-    @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        return x.reshape(x.shape[0], -1)
-
-
-def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
-                     name: str = "visual") -> nn.Module:
-    if arch.is_vit:
-        return VisionTransformer(
-            input_resolution=arch.image_resolution,
-            patch_size=arch.vision_patch_size, width=arch.vision_width,
-            layers=arch.vision_layers, heads=arch.vision_heads,
-            output_dim=arch.embed_dim, dtype=dtype, name=name)
-    return ModifiedResNet(
-        layers=arch.vision_layers, output_dim=arch.embed_dim,
-        heads=arch.vision_heads, input_resolution=arch.image_resolution,
-        width=arch.vision_width, spatial=arch.spatial, dtype=dtype, name=name)
 
 
 class CLIPSPMModel(nn.Module):

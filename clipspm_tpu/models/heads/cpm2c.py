@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ...ops.otam import otam_distance
 from ..backbones.clip import CLIPArch
 from ..blocks import TransformerV1, class_prototypes, cos_sim
-from ..fsar import make_clip_visual
+from ..visual import make_clip_visual
 
 Dtype = Any
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..backbones.clip import CLIPArch
 from ..blocks import class_prototypes, cos_sim
-from ..fsar import make_clip_visual
+from ..visual import make_clip_visual
 
 Dtype = Any
 
