@@ -108,6 +108,36 @@ def main():
         float(batched(variables, *staged, key).sum())
     batched_eps_per_sec = n_b * E / (time.perf_counter() - t0)
 
+    # training-step throughput: value_and_grad through transform + backbone
+    # + head + loss for one episode (grad accumulation is a sum of these)
+    from clipspm_tpu.train.losses import loss_and_acc
+
+    @jax.jit
+    def train_grad(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
+                   key):
+        def loss_fn(params):
+            sup = episode_device_transform(sup_u8, key, train=True,
+                                           img_size=img, resize_to=256,
+                                           dtype=jnp.bfloat16)
+            tgt = episode_device_transform(tgt_u8, key, train=True,
+                                           img_size=img, resize_to=256,
+                                           dtype=jnp.bfloat16)
+            out = model.apply({"params": params}, sup, tgt, sup_labels,
+                              real_sup, real_tgt, text, text, train=True,
+                              rngs={"dropout": key})
+            loss, _ = loss_and_acc("clipspm", out, sup_labels[:Q] * 0,
+                                   real_sup, real_tgt, 16, train=True)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return loss + sum(jnp.sum(g) * 0 for g in jax.tree.leaves(grads))
+
+    float(train_grad(variables, *episodes[0], key))
+    n_t = max(3, n_iters // 3)
+    t0 = time.perf_counter()
+    for i in range(n_t):
+        float(train_grad(variables, *episodes[i % n_staged], key))
+    train_eps_per_sec = n_t / (time.perf_counter() - t0)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     if os.path.exists(baseline_path):
@@ -129,6 +159,7 @@ def main():
         "extras": {"p50_episode_latency_ms": round(p50_ms, 2),
                    "frames_per_sec": round(frames_per_sec, 1),
                    "batched_eval_eps_per_sec": round(batched_eps_per_sec, 3),
+                   "train_eps_per_sec": round(train_eps_per_sec, 3),
                    "device": str(jax.devices()[0])},
     }))
 

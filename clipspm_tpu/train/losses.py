@@ -48,6 +48,57 @@ def aggregate_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred == labels.astype(pred.dtype)).astype(jnp.float32))
 
 
+def task_confusion(logits: jnp.ndarray, batch_class_list: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Map episode-relative predictions to dataset-level class ids
+    (reference: utils/utils.py:266-269)."""
+    preds = jnp.argmax(jax.nn.logsumexp(logits, axis=0), axis=-1)
+    return batch_class_list[preds]
+
+
+def label_smoothing(labels: jnp.ndarray, class_num: int = 100,
+                    factor: float = 0.1) -> jnp.ndarray:
+    """LSR one-hot smoothing (reference: utils/utils.py:148-158)."""
+    one_hot = jax.nn.one_hot(labels, class_num) * (1 - factor)
+    return one_hot + factor / class_num
+
+
+def ff_mi_loss(f1: jnp.ndarray, f2: jnp.ndarray,
+               temperature: float = 1.0) -> jnp.ndarray:
+    """Feature-feature mutual-information KL (reference: utils/utils.py:189-210).
+
+    f1/f2: [N, M, C, T, H, W] pre/post-alignment feature volumes.
+    """
+    B = f1.shape[0] * f1.shape[1]
+    T = f1.shape[-3]
+    a = f1.mean(axis=(-1, -2)).reshape(B, -1, T).transpose(0, 2, 1)
+    b = f2.mean(axis=(-1, -2)).reshape(B, -1, T).transpose(0, 2, 1)
+    logp = jax.nn.log_softmax(jax.lax.stop_gradient(a) / temperature, axis=-1)
+    q = jax.nn.softmax(b / temperature, axis=-1)
+    kl = q * (jnp.log(jnp.maximum(q, 1e-12)) - logp)
+    return kl.sum(axis=-1).sum(axis=-1).mean()
+
+
+def fy_mi_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+               way: int = 5) -> jnp.ndarray:
+    """Logit-label KL (reference: utils/utils.py:213-230)."""
+    logp = jax.nn.log_softmax(jax.lax.stop_gradient(logits[0]), axis=-1)
+    target = jax.nn.one_hot(labels, way)
+    kl = target * (jnp.log(jnp.maximum(target, 1e-12)) - logp)
+    return kl.sum(axis=-1).mean()
+
+
+def yy_mi_loss(sampled_logits: jnp.ndarray,
+               dense_logits: jnp.ndarray) -> jnp.ndarray:
+    """KL between sampled-frame and dense-frame logits
+    (reference: utils/utils.py:232-243)."""
+    logp = jax.nn.log_softmax(jax.lax.stop_gradient(sampled_logits[0]),
+                              axis=-1)
+    q = jax.nn.softmax(dense_logits[0], axis=-1)
+    kl = q * (jnp.log(jnp.maximum(q, 1e-12)) - logp)
+    return kl.sum(axis=-1).mean()
+
+
 def loss_and_acc(model_name: str, outputs: Dict[str, jnp.ndarray],
                  target_labels: jnp.ndarray,
                  real_support_labels: jnp.ndarray,
