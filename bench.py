@@ -13,6 +13,10 @@ checkpoint download at init; reference: models/model_clipspm.py:19,26). The
 baseline is therefore this repo's first recorded measurement
 (bench_baseline.json, written on first run) so later rounds report progress
 against round 1.
+
+Flags: ``--quick`` (fewer iters); env ``BENCH_TRAIN=1`` adds a train-step
+throughput measurement (off by default: the backward compile takes minutes
+through the remote AOT compiler on cold caches).
 """
 
 import json
@@ -21,6 +25,45 @@ import sys
 import time
 
 import numpy as np
+
+
+def _sync(x):
+    # block_until_ready is a no-op on tunneled remote platforms; fetching a
+    # scalar is a true sync
+    return float(x.sum())
+
+
+def _bench_train(jax, jnp, model, variables, episodes, n_staged, text, img,
+                 Q, key, n_iters):
+    from clipspm_tpu.data.transforms import episode_device_transform
+    from clipspm_tpu.train.losses import loss_and_acc
+
+    @jax.jit
+    def train_grad(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
+                   key):
+        def loss_fn(params):
+            sup = episode_device_transform(sup_u8, key, train=True,
+                                           img_size=img, resize_to=256,
+                                           dtype=jnp.bfloat16)
+            tgt = episode_device_transform(tgt_u8, key, train=True,
+                                           img_size=img, resize_to=256,
+                                           dtype=jnp.bfloat16)
+            out = model.apply({"params": params}, sup, tgt, sup_labels,
+                              real_sup, real_tgt, text, text, train=True,
+                              rngs={"dropout": key})
+            loss, _ = loss_and_acc("clipspm", out, sup_labels[:Q] * 0,
+                                   real_sup, real_tgt, 16, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return loss + sum(jnp.sum(g) * 0 for g in jax.tree.leaves(grads))
+
+    _sync(train_grad(variables, *episodes[0], key))
+    n_t = max(3, n_iters // 3)
+    t0 = time.perf_counter()
+    for i in range(n_t):
+        _sync(train_grad(variables, *episodes[i % n_staged], key))
+    return n_t / (time.perf_counter() - t0)
 
 
 def main():
@@ -53,8 +96,8 @@ def main():
     variables = model.init(rng, *dummy)
 
     @jax.jit
-    def eval_episode(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
-                     key):
+    def eval_episode(variables, sup_u8, tgt_u8, sup_labels, real_sup,
+                     real_tgt, key):
         sup = episode_device_transform(sup_u8, key, train=False,
                                        img_size=img, resize_to=256,
                                        dtype=jnp.bfloat16)
@@ -76,17 +119,14 @@ def main():
             ep.real_support_labels, ep.real_target_labels)))
 
     key = jax.random.PRNGKey(2)
-    # warmup / compile (fetch a scalar: block_until_ready is a no-op on
-    # tunneled remote platforms, a host fetch is a true sync)
-    float(eval_episode(variables, *episodes[0], key).sum())
+    _sync(eval_episode(variables, *episodes[0], key))   # warmup/compile
 
     n_iters = 10 if quick else 50
     lat = []
     t0 = time.perf_counter()
     for i in range(n_iters):
         t1 = time.perf_counter()
-        float(eval_episode(variables, *episodes[i % n_staged],
-                           key).sum())
+        _sync(eval_episode(variables, *episodes[i % n_staged], key))
         lat.append(time.perf_counter() - t1)
     total = time.perf_counter() - t0
     eps_per_sec = n_iters / total
@@ -94,49 +134,28 @@ def main():
     frames_per_sec = eps_per_sec * (S + Q) * T
 
     # batched multi-episode eval (BASELINE config #5): E episodes vmapped
-    # into one device step — amortizes the per-call tunnel/launch latency
+    # into one device step — amortizes per-call dispatch latency
     E = 4 if quick else 8
     batched = jax.jit(jax.vmap(eval_episode, in_axes=(None,) + (0,) * 5
                                + (None,)))
     staged = [jax.device_put(jnp.stack([episodes[i % n_staged][j]
                                         for i in range(E)]))
               for j in range(5)]
-    float(batched(variables, *staged, key).sum())
+    _sync(batched(variables, *staged, key))
     n_b = max(2, n_iters // E)
     t0 = time.perf_counter()
     for _ in range(n_b):
-        float(batched(variables, *staged, key).sum())
+        _sync(batched(variables, *staged, key))
     batched_eps_per_sec = n_b * E / (time.perf_counter() - t0)
 
-    # training-step throughput: value_and_grad through transform + backbone
-    # + head + loss for one episode (grad accumulation is a sum of these)
-    from clipspm_tpu.train.losses import loss_and_acc
-
-    @jax.jit
-    def train_grad(variables, sup_u8, tgt_u8, sup_labels, real_sup, real_tgt,
-                   key):
-        def loss_fn(params):
-            sup = episode_device_transform(sup_u8, key, train=True,
-                                           img_size=img, resize_to=256,
-                                           dtype=jnp.bfloat16)
-            tgt = episode_device_transform(tgt_u8, key, train=True,
-                                           img_size=img, resize_to=256,
-                                           dtype=jnp.bfloat16)
-            out = model.apply({"params": params}, sup, tgt, sup_labels,
-                              real_sup, real_tgt, text, text, train=True,
-                              rngs={"dropout": key})
-            loss, _ = loss_and_acc("clipspm", out, sup_labels[:Q] * 0,
-                                   real_sup, real_tgt, 16, train=True)
-            return loss
-        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-        return loss + sum(jnp.sum(g) * 0 for g in jax.tree.leaves(grads))
-
-    float(train_grad(variables, *episodes[0], key))
-    n_t = max(3, n_iters // 3)
-    t0 = time.perf_counter()
-    for i in range(n_t):
-        float(train_grad(variables, *episodes[i % n_staged], key))
-    train_eps_per_sec = n_t / (time.perf_counter() - t0)
+    extras = {"p50_episode_latency_ms": round(p50_ms, 2),
+              "frames_per_sec": round(frames_per_sec, 1),
+              "batched_eval_eps_per_sec": round(batched_eps_per_sec, 3),
+              "device": str(jax.devices()[0])}
+    if os.environ.get("BENCH_TRAIN") == "1":
+        extras["train_eps_per_sec"] = round(
+            _bench_train(jax, jnp, model, variables, episodes, n_staged,
+                         text, img, Q, key, n_iters), 3)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -156,11 +175,7 @@ def main():
         "value": round(eps_per_sec, 3),
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / baseline, 3),
-        "extras": {"p50_episode_latency_ms": round(p50_ms, 2),
-                   "frames_per_sec": round(frames_per_sec, 1),
-                   "batched_eval_eps_per_sec": round(batched_eps_per_sec, 3),
-                   "train_eps_per_sec": round(train_eps_per_sec, 3),
-                   "device": str(jax.devices()[0])},
+        "extras": extras,
     }))
 
 
