@@ -92,6 +92,97 @@ def ref_clipfsar():
     return mod
 
 
+def _episode(dim):
+    rng = np.random.default_rng(0)
+    return (rng.normal(size=(S, T, dim)).astype(np.float32),
+            rng.normal(size=(Q, T, dim)).astype(np.float32),
+            np.asarray([0, 1, 0, 1], np.int32),
+            np.asarray([0, 2, 0, 2], np.int32),
+            np.asarray([2, 0, 2, 0], np.int32))
+
+
+def _convert_clipfsar(ref):
+    def dense(lin):
+        p = {"kernel": lin.weight.detach().numpy().T}
+        if lin.bias is not None:
+            p["bias"] = lin.bias.detach().numpy()
+        return p
+
+    t = ref.context2
+    attn_mod, ff_mod = t.layers[0][0], t.layers[0][1]
+    return {
+        "scale": ref.scale.detach().numpy().reshape(()),
+        "context2": {
+            "norm_0": {"scale": attn_mod.norm.weight.detach().numpy(),
+                       "bias": attn_mod.norm.bias.detach().numpy()},
+            "attn_0": {
+                "to_q": {"kernel": attn_mod.fn.to_q.weight.detach().numpy().T},
+                "to_k": {"kernel": attn_mod.fn.to_k.weight.detach().numpy().T},
+                "to_v": {"kernel": attn_mod.fn.to_v.weight.detach().numpy().T},
+                "to_out": dense(attn_mod.fn.to_out[0]),
+            },
+            "ff_0": {"fc1": dense(ff_mod.net[0]), "fc2": dense(ff_mod.net[3])},
+        },
+    }
+
+
+def test_clipfsar_eval_text_branch_parity(ref_clipfsar):
+    """EVAL_TEXT branch (reference: models/model_clipfsar.py:240-257).
+
+    As committed the branch crashes at the return statement
+    (``class_text_logits`` is None, :257,394 — latent defect), so the
+    expected value is assembled from the branch's own formula with the
+    reference's text features and scale.
+    """
+    import jax.numpy as jnp
+
+    from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
+    from clipspm_tpu.models.fsar import IdentityBackbone
+    from clipspm_tpu.models.heads.clipfsar import CLIPFSARModel
+
+    cfg = _Cfg({
+        "MODEL": {"BACKBONE": "RN50", "NAME": "clipfsar",
+                  "USE_CLASSIFICATION": True},
+        "TRAIN": {"CLASS_NAME": ["a", "b", "c"], "WAY": WAY, "SHOT": SHOT},
+        "TEST": {"CLASS_NAME": ["d", "e", "f"]},
+        "DATA": {"SEQ_LEN": T},
+        "DEVICE": {"NUM_GPUS": 1},
+    })
+    torch.manual_seed(0)
+    ref = ref_clipfsar.CNN_OTAM_CLIPFSAR(cfg)
+    ref.backbone = torch.nn.Identity()
+    ref = ref.eval()
+
+    su, qu, labels, real_sup, real_tgt = _episode(DIM)
+    with torch.no_grad():
+        # reference :243-254 with classification_layer = identity
+        text_feats = ref.text_features_test[torch.from_numpy(real_sup).long()]
+        uniq = torch.unique(torch.from_numpy(labels).float())
+        tf = torch.stack([
+            torch.mean(torch.index_select(
+                text_feats, 0, ref_clipfsar.extract_class_indices(
+                    torch.from_numpy(labels).float(), c)), dim=0)
+            for c in uniq])
+        img = torch.from_numpy(qu).mean(1)
+        img = img / img.norm(dim=1, keepdim=True)
+        tf = tf / tf.norm(dim=1, keepdim=True)
+        probs = torch.softmax(ref.scale * img @ tf.t(), dim=1)
+        want = probs.unsqueeze(0).numpy()   # logits = -cum = +probs
+
+    ours = CLIPFSARModel(arch=CLIP_ARCHS["RN50"], way=WAY, shot=SHOT,
+                         eval_text=True,
+                         backbone_override=IdentityBackbone())
+    got = ours.apply(
+        {"params": _convert_clipfsar(ref)},
+        jnp.asarray(su.reshape(S, T, 1, 1, DIM)),
+        jnp.asarray(qu.reshape(Q, T, 1, 1, DIM)),
+        jnp.asarray(labels), jnp.asarray(real_sup), jnp.asarray(real_tgt),
+        jnp.asarray(ref.text_features_train.detach().numpy()),
+        jnp.asarray(ref.text_features_test.detach().numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(got["logits"]), want,
+                               atol=5e-5, rtol=1e-3)
+
+
 def test_clipfsar_full_forward_parity(ref_clipfsar):
     import jax.numpy as jnp
 
