@@ -77,8 +77,11 @@ def main():
     from clipspm_tpu.models.fsar import CLIPSPMModel
     from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
 
+    import dataclasses
+
     way, shot, queries, T, img = 5, 5, 1, 8, 224
-    arch = CLIP_ARCHS["ViT-B/16"]
+    # fast_softmax: bf16 attention softmax (max-shifted), ~10%% faster on v5e
+    arch = dataclasses.replace(CLIP_ARCHS["ViT-B/16"], fast_softmax=True)
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16)
     S, Q, D = way * shot, way * queries, arch.embed_dim

@@ -10,6 +10,7 @@ forward is a pure function of (params, episode) — jit/vmap/shard-map ready.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Mapping, Optional
 
 import flax.linen as nn
@@ -100,6 +101,12 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     backbone = arch_override or cfg.MODEL.BACKBONE
     dtype = jnp.bfloat16 if cfg.get("USE_AMP", False) else jnp.float32
 
+    def clip_arch():
+        arch = CLIP_ARCHS[backbone]
+        if cfg.MODEL.get("FAST_SOFTMAX", False):
+            arch = dataclasses.replace(arch, fast_softmax=True)
+        return arch
+
     way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)
     seq_len = int(cfg.DATA.SEQ_LEN)
     # test-size resnet trunks use a narrow width
@@ -107,7 +114,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     rn_arch = "resnet18" if backbone == "test-tiny-resnet" else backbone
 
     if name == "clipspm":
-        arch = CLIP_ARCHS[backbone]
+        arch = clip_arch()
         return CLIPSPMModel(
             arch=arch, way=way, shot=shot,
             spm=dict(cfg.params), dtype=dtype,
@@ -117,7 +124,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
         m = cfg.MODEL
         return CLIPFSARModel(
-            arch=CLIP_ARCHS[backbone], way=way, shot=shot, dtype=dtype,
+            arch=clip_arch(), way=way, shot=shot, dtype=dtype,
             transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
             single_direct=bool(m.get("SINGLE_DIRECT", False)),
@@ -128,7 +135,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     if name == "sten":
         from .heads.sten import STENModel
 
-        return STENModel(arch=CLIP_ARCHS[backbone], way=way, shot=shot,
+        return STENModel(arch=clip_arch(), way=way, shot=shot,
                          dtype=dtype)
     if name == "otam":
         from .heads.otam import OTAMModel
@@ -188,7 +195,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
         m = cfg.MODEL
         return CPM2CModel(
-            arch=CLIP_ARCHS[backbone], way=way, shot=shot,
+            arch=clip_arch(), way=way, shot=shot,
             params=dict(cfg.params), dtype=dtype,
             motion_coeff=float(m.get("MOTION_COFF", 0.5)),
             normal_coeff=float(m.get("NORMAL_COFF", 0.5)),

@@ -26,7 +26,8 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
             input_resolution=arch.image_resolution,
             patch_size=arch.vision_patch_size, width=arch.vision_width,
             layers=arch.vision_layers, heads=arch.vision_heads,
-            output_dim=arch.embed_dim, dtype=dtype, name=name)
+            output_dim=arch.embed_dim, fast_softmax=arch.fast_softmax,
+            dtype=dtype, name=name)
     return ModifiedResNet(
         layers=arch.vision_layers, output_dim=arch.embed_dim,
         heads=arch.vision_heads, input_resolution=arch.image_resolution,
