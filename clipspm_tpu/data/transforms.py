@@ -86,6 +86,116 @@ def clip_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def group_normalize(x: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Per-channel normalize (reference: videotransforms/tensor_transforms.py
+    GroupNormalize; declared but unused on the shipped path)."""
+    mean = jnp.asarray(mean, x.dtype)
+    std = jnp.asarray(std, x.dtype)
+    return (x - mean) / std
+
+
+def color_jitter(x: jnp.ndarray, rng: jax.Array, brightness: float = 0.0,
+                 contrast: float = 0.0, saturation: float = 0.0,
+                 hue: float = 0.0) -> jnp.ndarray:
+    """Per-video color jitter on float 0-1 clips ``[N, T, H, W, 3]``
+    (reference: videotransforms/video_transforms.py ColorJitter — PIL-based;
+    here brightness/contrast/saturation are exact torchvision semantics, hue
+    uses the YIQ-rotation approximation)."""
+    n = x.shape[0]
+    kb, kc, ks, kh = jax.random.split(rng, 4)
+    shape = (n, 1, 1, 1, 1)
+
+    if brightness > 0:
+        f = jax.random.uniform(kb, shape, x.dtype, 1 - brightness,
+                               1 + brightness)
+        x = x * f
+    if contrast > 0:
+        f = jax.random.uniform(kc, shape, x.dtype, 1 - contrast, 1 + contrast)
+        grey = (x * jnp.asarray([0.299, 0.587, 0.114], x.dtype)).sum(
+            -1, keepdims=True).mean(axis=(1, 2, 3), keepdims=True)
+        x = grey + (x - grey) * f
+    if saturation > 0:
+        f = jax.random.uniform(ks, shape, x.dtype, 1 - saturation,
+                               1 + saturation)
+        grey = (x * jnp.asarray([0.299, 0.587, 0.114], x.dtype)).sum(
+            -1, keepdims=True)
+        x = grey + (x - grey) * f
+    if hue > 0:
+        theta = jax.random.uniform(kh, (n,), x.dtype, -hue, hue) \
+            * (2 * jnp.pi)
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        # YIQ rotation
+        yiq = jnp.asarray([[0.299, 0.587, 0.114],
+                           [0.596, -0.274, -0.322],
+                           [0.211, -0.523, 0.312]], x.dtype)
+        rgb = jnp.linalg.inv(yiq)
+        v = jnp.einsum("nthwc,dc->nthwd", x, yiq)
+        y, i, q = v[..., 0], v[..., 1], v[..., 2]
+        i2 = cos[:, None, None, None] * i - sin[:, None, None, None] * q
+        q2 = sin[:, None, None, None] * i + cos[:, None, None, None] * q
+        v = jnp.stack([y, i2, q2], axis=-1)
+        x = jnp.einsum("nthwd,cd->nthwc", v, rgb)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def rotate_clip(x: jnp.ndarray, angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """Per-video rotation by arbitrary angles (bilinear, zero padding),
+    torch/PIL-style center rotation (reference:
+    videotransforms/video_transforms.py RandomRotation). x: [N, T, H, W, C].
+    """
+    n, t, H, W, C = x.shape
+    theta = jnp.deg2rad(angles_deg.astype(jnp.float32))
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    xs = jnp.arange(W, dtype=jnp.float32) - cx
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def rot_one(clip, th):
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        src_y = cos * yy + sin * xx + cy
+        src_x = -sin * yy + cos * xx + cx
+        y0 = jnp.floor(src_y); x0 = jnp.floor(src_x)
+        wy = src_y - y0; wx = src_x - x0
+
+        def gather(yi, xi):
+            valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            yi_c = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+            xi_c = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+            vals = clip[:, yi_c, xi_c, :]
+            return vals * valid[None, :, :, None].astype(clip.dtype)
+
+        out = (gather(y0, x0) * ((1 - wy) * (1 - wx))[None, :, :, None]
+               + gather(y0, x0 + 1) * ((1 - wy) * wx)[None, :, :, None]
+               + gather(y0 + 1, x0) * (wy * (1 - wx))[None, :, :, None]
+               + gather(y0 + 1, x0 + 1) * (wy * wx)[None, :, :, None])
+        return out
+
+    return jax.vmap(rot_one)(x, theta)
+
+
+def random_rotation(x: jnp.ndarray, rng: jax.Array,
+                    degrees: float = 10.0) -> jnp.ndarray:
+    """Per-video uniform random rotation in [-degrees, degrees]."""
+    angles = jax.random.uniform(rng, (x.shape[0],), jnp.float32,
+                                -degrees, degrees)
+    return rotate_clip(x, angles)
+
+
+def ten_crop(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Four corners + center crops and their horizontal mirrors
+    (reference: videotransforms/video_transforms.py TenCrop).
+    [N, T, H, W, C] -> [N, 10, T, size, size, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    tl = x[..., :size, :size, :]
+    tr = x[..., :size, w - size:, :]
+    bl = x[..., h - size:, :size, :]
+    br = x[..., h - size:, w - size:, :]
+    cc = center_crop(x, size)
+    crops = jnp.stack([tl, tr, bl, br, cc], axis=1)
+    flipped = crops[..., ::-1, :]
+    return jnp.concatenate([crops, flipped], axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("train", "img_size", "resize_to",
                                     "flip", "normalize", "dtype"))
