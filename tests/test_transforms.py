@@ -104,3 +104,22 @@ def test_episode_transform_eval_deterministic():
     b = episode_device_transform(u8, jax.random.PRNGKey(9), train=False,
                                  img_size=32, resize_to=40)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blk_temporal_excitation():
+    """blk family smoke: shape-preserving, finite, differs from input
+    (reference: models/myRes.py:250-412)."""
+    from clipspm_tpu.models.backbones.temporal_excitation import Blk
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2 * 4, 8, 8, 16)), jnp.float32)
+    blk = Blk(in_channels=16, seq_len=4)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(variables, x, train=False,
+                  mutable=False if "batch_stats" not in variables else False)
+    if isinstance(y, tuple):
+        y = y[0]
+    y = np.asarray(y)
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+    assert not np.allclose(y, np.asarray(x))
