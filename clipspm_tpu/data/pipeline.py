@@ -33,10 +33,13 @@ def _decode_image(path: str) -> np.ndarray:
 
 
 def probe_frame_size(catalog: SplitCatalog) -> Optional[tuple]:
-    """(H, W) of the first frame in the catalog (None when empty)."""
-    for rec in catalog.records:
+    """(H, W) of the first decodable frame (None when empty/unreadable)."""
+    for rec in catalog.records[:16]:
         if rec.frame_paths:
-            h, w = _decode_image(rec.frame_paths[0]).shape[:2]
+            try:
+                h, w = _decode_image(rec.frame_paths[0]).shape[:2]
+            except Exception:
+                continue
             return (h, w)
     return None
 
@@ -103,11 +106,24 @@ class EpisodeLoader:
         self._thread.start()
 
     def _producer(self):
+        consecutive_failures = 0
         while not self._stop.is_set():
             plan = self.sampler.sample()
-            ep = decode_plan(plan, self.catalog, self._pool,
-                             frame_size=self.frame_size,
-                             native_threads=self.num_workers)
+            try:
+                ep = decode_plan(plan, self.catalog, self._pool,
+                                 frame_size=self.frame_size,
+                                 native_threads=self.num_workers)
+                consecutive_failures = 0
+            except Exception as exc:  # corrupt/missing frames: skip episode
+                # (the reference hard-exits on any IO problem — SURVEY §5
+                # "failure detection: none"; here a bad episode is dropped
+                # and resampled, with a bounded retry budget)
+                consecutive_failures += 1
+                if consecutive_failures >= 100:
+                    raise RuntimeError(
+                        "episode decoding failed 100 times in a row; "
+                        f"last error: {exc!r}") from exc
+                continue
             while not self._stop.is_set():
                 try:
                     self._queue.put(ep, timeout=0.5)

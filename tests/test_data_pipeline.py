@@ -97,3 +97,19 @@ def test_episode_loader_stream(disk_dataset):
     loader.close()
     for ep in eps:
         assert ep.support_images.shape == (2, 4, 32, 32, 3)
+
+
+def test_loader_skips_corrupt_episodes(disk_dataset, tmp_path):
+    """A corrupt frame file drops the episode and the stream continues
+    (the reference hard-exits; SURVEY §5 failure detection gap)."""
+    splits, data = disk_dataset
+    cat = load_split(splits, data, "train", "generic", seq_len=4)
+    # corrupt one video's frames on the catalog (point at a missing file)
+    cat.records[0].frame_paths[0] = str(tmp_path / "missing.jpg")
+    sampler = EpisodeSampler(cat, way=3, shot=2, queries=1, seq_len=4,
+                             train=False, seed=0)
+    loader = EpisodeLoader(sampler, num_workers=2, prefetch=2)
+    it = iter(loader)
+    eps = [next(it) for _ in range(5)]
+    loader.close()
+    assert all(ep.support_images.shape == (6, 4, 32, 32, 3) for ep in eps)
