@@ -9,8 +9,6 @@ just a leading axis (``EpisodeBatch``) that can be sharded over a mesh.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -19,7 +19,7 @@ Sampling protocol parity (distribution-level) with the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -20,8 +20,6 @@ documented fidelity note, not an accuracy-relevant difference).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

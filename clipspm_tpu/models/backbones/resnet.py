@@ -15,7 +15,7 @@ via ``convert_torchvision_resnet`` (no network).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

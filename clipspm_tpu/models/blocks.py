@@ -9,7 +9,7 @@ static-shape and dtype-polymorphic (bf16 compute on TPU, f32 params).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -11,10 +11,9 @@ forward is a pure function of (params, episode) — jit/vmap/shard-map ready.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .backbones.clip import CLIP_ARCHS, CLIPArch

@@ -28,7 +28,7 @@ Semantic parity notes (kept faithful to the *shipped* reference code):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import flax.linen as nn
 import jax

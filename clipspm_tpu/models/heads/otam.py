@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops.otam import otam_distance
 from ..backbones.resnet import TorchResNet
-from ..blocks import TransformerV1, class_prototypes, cos_sim
+from ..blocks import TransformerV1, class_prototypes
 
 Dtype = Any
 

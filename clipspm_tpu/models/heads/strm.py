@@ -12,7 +12,6 @@ The reference seeds global RNGs at import time (:15-18 — SURVEY §2.8 defect
 
 from __future__ import annotations
 
-import math
 from itertools import combinations
 from typing import Any, Dict, Sequence
 

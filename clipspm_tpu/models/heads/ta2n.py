@@ -25,7 +25,7 @@ Repairs vs. the reference (documented):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 from itertools import combinations
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

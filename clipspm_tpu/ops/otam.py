@@ -28,8 +28,6 @@ The result is ``C[L-1, M-1]``.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,9 +14,8 @@ collisions are an error instead.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -19,9 +19,7 @@ Fresh TPU-native design of the reference ``Learner``
 from __future__ import annotations
 
 import dataclasses
-import functools
-import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

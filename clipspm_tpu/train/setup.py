@@ -23,7 +23,7 @@ from ..models.backbones.clip import CLIP_ARCHS, CLIPModel, build_clip
 from ..models.fsar import build_model
 from ..models.text_features import (PROMPT_TEMPLATES, SINGLE_TEMPLATE,
                                     encode_class_text_features)
-from .learner import Learner, TransformSpec
+from .learner import Learner
 
 # model files named as in the OpenAI release (reference: models/clip_fsar.py:827-837)
 _CLIP_FILES = {"RN50": "RN50.pt", "ViT-B/16": "ViT-B-16.pt"}
