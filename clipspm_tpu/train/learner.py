@@ -321,11 +321,27 @@ class Learner:
         best_acc = 0.0
         window_loss, window_acc = [], []
         episode = int(self.state.episode)
+        # opt-in jax.profiler trace of one optimizer step (SURVEY §5:
+        # tracing as first-class; the reference has no profiling story)
+        import os as _os
+
+        profile_dir = _os.environ.get("CLIPSPM_PROFILE_DIR")
+        profiled = False
         while episode < total:
             batch = [next(it) for _ in range(min(tpb, total - episode))]
             if len(batch) < tpb:
                 # keep static shapes: pad the final partial batch
                 batch = batch + [batch[-1]] * (tpb - len(batch))
+            if profile_dir and not profiled and episode > 0:
+                from ..utils.metrics import profile_trace
+
+                with profile_trace(profile_dir):
+                    m = self.train_episodes(batch)
+                profiled = True
+                self.log(f"profiler trace written to {profile_dir}")
+                episode = int(self.state.episode)
+                window_loss.append(m["loss"]); window_acc.append(m["acc"])
+                continue
             m = self.train_episodes(batch)
             episode = int(self.state.episode)
             window_loss.append(m["loss"])
