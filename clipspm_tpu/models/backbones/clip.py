@@ -43,6 +43,9 @@ class CLIPArch:
     # bf16 softmax in the transformer attention (max-shifted, still stable);
     # ~10%% faster ViT step on v5e; default off for strict fp32-softmax parity
     fast_softmax: bool = False
+    # fused Pallas attention kernel (scores never leave VMEM); forward-only
+    # fusion, backward falls back to XLA attention. Implies bf16 softmax.
+    fused_attention: bool = False
 
     @property
     def is_vit(self) -> bool:
@@ -237,6 +240,7 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     causal: bool = False
     fast_softmax: bool = False
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -251,6 +255,24 @@ class ResidualAttentionBlock(nn.Module):
                              hd).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
+        if self.fused_attention and not self.causal:
+            from ...ops.attention_pallas import fused_attention
+
+            B, L = x.shape[0], x.shape[1]
+            qf = qh.reshape(B * self.n_head, L, hd)
+            kf = kh.reshape(B * self.n_head, L, hd)
+            vf = vh.reshape(B * self.n_head, L, hd)
+            out = fused_attention(qf, kf, vf, hd ** -0.5)
+            out = out.reshape(B, self.n_head, L, hd)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+            out = nn.Dense(self.d_model, dtype=self.dtype,
+                           name="out_proj")(out)
+            x = x + out
+            h = FP32LayerNorm(name="ln_2")(x)
+            h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
+            h = quick_gelu(h)
+            h = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
+            return x + h
         attn = jnp.einsum("bhid,bhjd->bhij", qh, kh,
                           preferred_element_type=jnp.float32) * hd ** -0.5
         if self.causal:
@@ -283,6 +305,7 @@ class TransformerStack(nn.Module):
     heads: int
     causal: bool = False
     fast_softmax: bool = False
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -291,6 +314,7 @@ class TransformerStack(nn.Module):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        causal=self.causal,
                                        fast_softmax=self.fast_softmax,
+                                       fused_attention=self.fused_attention,
                                        dtype=self.dtype,
                                        name=f"resblock_{i}")(x)
         return x
@@ -306,6 +330,7 @@ class VisionTransformer(nn.Module):
     heads: int
     output_dim: int
     fast_softmax: bool = False
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -329,6 +354,7 @@ class VisionTransformer(nn.Module):
         x = FP32LayerNorm(name="ln_pre")(x)
         x = TransformerStack(self.width, self.layers, self.heads,
                              fast_softmax=self.fast_softmax,
+                             fused_attention=self.fused_attention,
                              dtype=self.dtype, name="transformer")(x)
         x = FP32LayerNorm(name="ln_post")(x[:, 0])
         proj = self.param("proj",
