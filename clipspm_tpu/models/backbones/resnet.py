@@ -32,9 +32,16 @@ BASIC_BLOCK_ARCHS = ("resnet18", "resnet34")
 
 
 class TVBottleneck(nn.Module):
-    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1, expansion 4.
+
+    ``temporal=True`` is the reference's experimental ``newBottleneck``
+    (reference: models/myRes.py:30-79): a temporal-excitation ``Blk`` + BN +
+    ReLU spliced in after the 3x3 conv.
+    """
     planes: int
     stride: int = 1
+    temporal: bool = False
+    seq_len: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -50,6 +57,11 @@ class TVBottleneck(nn.Module):
                                       strides=self.stride, padding=1,
                                       use_bias=False, dtype=self.dtype,
                                       name="conv2")(h)))
+        if self.temporal:
+            from .temporal_excitation import Blk
+            h = Blk(self.planes, seq_len=self.seq_len, dtype=self.dtype,
+                    name="blk")(h, train=train)
+            h = nn.relu(bn("bn4")(h))
         h = bn("bn3")(nn.Conv(out_ch, (1, 1), use_bias=False,
                               dtype=self.dtype, name="conv3")(h))
         identity = x
@@ -90,16 +102,26 @@ class TVBasicBlock(nn.Module):
 
 class TorchResNet(nn.Module):
     """ResNet trunk; ``output``: "spatial" -> [N, H/32, W/32, C],
-    "pooled" -> [N, C]."""
+    "pooled" -> [N, C].
+
+    ``temporal_blocks`` reproduces the reference's experimental temporal
+    ResNets (dead code, kept for inventory): ``"bottleneck"`` is
+    ``resnet50_1`` (reference: models/myRes.py:9-16 — a ``Blk`` inside every
+    bottleneck), ``"stage"`` is ``resnet50_2``/``newResNet_2`` (reference:
+    models/myRes.py:18-26,225-246 — ``Blk(512)`` after stage 2 and
+    ``Blk(1024)`` after stage 3).
+    """
     arch: str = "resnet50"
     output: str = "spatial"
     width: int = 64
+    temporal_blocks: str = "none"
+    seq_len: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         layers = RESNET_LAYERS[self.arch]
-        block = TVBasicBlock if self.arch in BASIC_BLOCK_ARCHS else TVBottleneck
+        basic = self.arch in BASIC_BLOCK_ARCHS
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=jnp.float32, name="bn1")
         x = nn.relu(bn(nn.Conv(self.width, (7, 7), strides=2, padding=3,
@@ -109,9 +131,21 @@ class TorchResNet(nn.Module):
         for stage, blocks in enumerate(layers):
             planes = self.width * (2 ** stage)
             for b in range(blocks):
-                x = block(planes, 2 if (b == 0 and stage > 0) else 1,
-                          dtype=self.dtype,
-                          name=f"layer{stage + 1}_{b}")(x, train=train)
+                stride = 2 if (b == 0 and stage > 0) else 1
+                if basic:
+                    x = TVBasicBlock(planes, stride, dtype=self.dtype,
+                                     name=f"layer{stage + 1}_{b}")(
+                        x, train=train)
+                else:
+                    x = TVBottleneck(
+                        planes, stride,
+                        temporal=self.temporal_blocks == "bottleneck",
+                        seq_len=self.seq_len, dtype=self.dtype,
+                        name=f"layer{stage + 1}_{b}")(x, train=train)
+            if self.temporal_blocks == "stage" and stage in (1, 2):
+                from .temporal_excitation import Blk
+                x = Blk(x.shape[-1], seq_len=self.seq_len, dtype=self.dtype,
+                        name=f"blk_{stage}")(x, train=train)
         if self.output == "pooled":
             x = x.mean(axis=(1, 2))
         return x

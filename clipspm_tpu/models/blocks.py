@@ -230,35 +230,35 @@ class TransformerV2(nn.Module):
         return x
 
 
-def sinusoidal_positions(seq_len: int, dim: int, scale_a: float = 1.0,
-                         scale_b: float = 1.0) -> np.ndarray:
-    """Sinusoidal positional table with the reference's A/B scaling
-    (reference: models/myRes.py:605-663, PositionalEncoder): position scaled
-    by ``A`` inside the trig args, the table scaled by ``B`` when added.
-    Built vectorized instead of the reference's python loops.
+def sinusoidal_positions(seq_len: int, dim: int) -> np.ndarray:
+    """The reference's loop-built sinusoid (reference: models/myRes.py:605-622,
+    same loop as model_molo.py:173-188): even channel ``i`` uses
+    ``sin(pos/10000^(2i/d))`` with ``i`` the channel index itself (not a pair
+    index), odd channel ``i+1`` uses ``cos(pos/10000^(2(i+1)/d))``. Built
+    vectorized instead of the reference's python loops.
     """
-    pos = np.arange(seq_len, dtype=np.float64)[:, None] * scale_a
+    pos = np.arange(seq_len, dtype=np.float64)[:, None]
     i = np.arange(0, dim, 2, dtype=np.float64)[None, :]
-    div = np.power(10000.0, i / dim)
     table = np.zeros((seq_len, dim), dtype=np.float64)
-    table[:, 0::2] = np.sin(pos / div)
-    table[:, 1::2] = np.cos(pos / div)[:, : table[:, 1::2].shape[1]]
-    return (table * scale_b).astype(np.float32)
+    table[:, 0::2] = np.sin(pos / np.power(10000.0, 2 * i / dim))
+    n_odd = table[:, 1::2].shape[1]
+    table[:, 1::2] = np.cos(
+        pos / np.power(10000.0, 2 * (i[:, :n_odd] + 1) / dim))
+    return table.astype(np.float32)
 
 
 class PositionalEncoder(nn.Module):
-    """Adds the sinusoidal table (scaled) to ``[B, T, D]`` inputs
-    (reference: models/myRes.py:605-640): ``x * sqrt(D) + B * PE``."""
+    """``x * sqrt(D / A) + B * PE`` then dropout
+    (reference: models/myRes.py:605-632)."""
     dim: int
-    max_len: int = 512
-    scale_a: float = 1.0
+    max_len: int = 20
+    scale_a: float = 10.0
     scale_b: float = 1.0
     dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        table = jnp.asarray(
-            sinusoidal_positions(self.max_len, self.dim, self.scale_a, 1.0))
-        x = x * jnp.sqrt(jnp.asarray(self.dim, x.dtype))
+        table = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
+        x = x * jnp.sqrt(jnp.asarray(self.dim / self.scale_a, x.dtype))
         x = x + self.scale_b * table[: x.shape[-2]].astype(x.dtype)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)

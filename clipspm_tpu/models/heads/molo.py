@@ -36,7 +36,7 @@ def molo_positional_table(max_len: int, dim: int) -> np.ndarray:
     i = np.arange(0, dim, 2, dtype=np.float64)[None, :]
     pe[:, 0::2] = np.sin(pos / np.power(10000.0, 2 * i / dim))
     n_odd = pe[:, 1::2].shape[1]
-    pe[:, 1::2] = np.cos(pos / np.power(10000.0, 2 * (i[:, :n_odd] + 2) / dim))
+    pe[:, 1::2] = np.cos(pos / np.power(10000.0, 2 * (i[:, :n_odd] + 1) / dim))
     return pe.astype(np.float32)
 
 
