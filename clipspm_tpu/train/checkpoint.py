@@ -50,7 +50,17 @@ class CheckpointManager:
             "state": template_state,
             "meta": {"iteration": np.asarray(0), "acc": np.asarray(0.0)},
         }
-        payload = self._ckptr.restore(path, template)
+        try:
+            payload = self._ckptr.restore(path, template)
+        except ValueError as e:
+            if "mismatch" in str(e).lower() or "MISSING" in str(e):
+                raise ValueError(
+                    f"checkpoint at {path} does not match the current model's "
+                    "parameter tree — it was likely saved by a different "
+                    "MODEL.NAME/BACKBONE. Point CHECKPOINT.CHECKPOINT_DIR at "
+                    "a matching checkpoint (or an empty directory to skip "
+                    "restore).") from e
+            raise
         return payload
 
     def exists(self, tag: str) -> bool:
