@@ -170,6 +170,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
             backbone_width=rn_width, dtype=dtype,
             num_class=int(cfg.DATA.get("NUM_CLASS", 64)),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
+            use_local=bool(m.get("USE_LOCAL", False)),
             use_contrastive=bool(m.get("USE_CONTRASTIVE", True)),
             temp_coff=float(m.get("TEMP_COFF", 0) or 0),
             logit_balance=float(m.get("LOGIT_BALANCE_COFF", 0) or 0.3),

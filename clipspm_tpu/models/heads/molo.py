@@ -110,6 +110,7 @@ class MoLoModel(nn.Module):
     backbone_width: int = 64
     num_class: int = 64
     use_classification: bool = True
+    use_local: bool = False
     use_contrastive: bool = True
     temp_coff: float = 0.0          # 0 -> learned scales
     logit_balance: float = 0.3
@@ -213,11 +214,17 @@ class MoLoModel(nn.Module):
         app = nn.relu(self.temporal_atte_before(
             self.pe(app, deterministic=det), deterministic=det))
 
-        # classification over both streams (reference :386-393)
+        # classification over both streams (reference :386-393); USE_LOCAL
+        # classifies every token instead of the pooled video
+        # (reference :388-389)
         class_logits = None
         if self.use_classification:
-            pooled = app.mean(axis=1) + motion.mean(axis=1)
-            class_logits = self.classification_layer(pooled)
+            if self.use_local:
+                class_logits = self.classification_layer(app).reshape(
+                    -1, self.num_class)
+            else:
+                pooled = app.mean(axis=1) + motion.mean(axis=1)
+                class_logits = self.classification_layer(pooled)
 
         su_app = class_prototypes(app[:S], support_labels, self.way)
         su_mo = class_prototypes(motion[:S], support_labels, self.way)

@@ -129,6 +129,13 @@ def loss_and_acc(model_name: str, outputs: Dict[str, jnp.ndarray],
         if train:
             both_real = jnp.concatenate([real_support_labels,
                                          real_target_labels], axis=0)
+            # USE_LOCAL emits per-token logits ((S+Q)(T+1) rows); the
+            # reference loss crashes on the shape mismatch (defect 14 in
+            # COMPONENTS.md) — repair: repeat each video label per token
+            n_logits = outputs["class_logits"].shape[1]
+            if n_logits != both_real.shape[0]:
+                both_real = jnp.repeat(both_real,
+                                       n_logits // both_real.shape[0])
             cls_v = float(cfg.MODEL.USE_CLASSIFICATION_VALUE)
             contr = float(cfg.MODEL.USE_CONTRASTIVE_COFF)
             recons = float(cfg.MODEL.RECONS_COFF)

@@ -112,6 +112,22 @@ def test_head_forward_contract(name):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_molo_use_local_per_token_logits():
+    """USE_LOCAL classifies every token (T+1 incl class token) instead of the
+    pooled video (reference: models/model_molo.py:388-389)."""
+    from clipspm_tpu.models.heads.molo import MoLoModel
+
+    model = MoLoModel(way=WAY, shot=SHOT, seq_len=T, arch="resnet18",
+                      backbone_width=8, num_class=N_CLASSES, factor=4,
+                      use_local=True)
+    inputs = episode_inputs(64)
+    variables = model.init(jax.random.PRNGKey(0), *inputs)
+    out = model.apply(variables, *inputs, train=False, mutable=False)
+    n_videos = WAY * SHOT + Q
+    assert out["class_logits"].shape == (1, n_videos * (T + 1), N_CLASSES)
+    assert np.isfinite(np.asarray(out["class_logits"])).all()
+
+
 @pytest.mark.parametrize("name", HEADS)
 def test_head_backward(name):
     model, dim = make_model(name)
