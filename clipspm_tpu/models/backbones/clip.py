@@ -59,10 +59,25 @@ class CLIPArch:
 
 
 CLIP_ARCHS = {
+    # The full OpenAI family the reference's registry names
+    # (reference: models/clip_fsar.py:184-196 _MODELS); RN50 and ViT-B/16 are
+    # the two the shipped configs use.
     # RN50: 1024-d embed (reference: models/model_clipspm.py:23 mid_dim=1024)
     "RN50": CLIPArch(1024, 224, (3, 4, 6, 3), 64, None),
+    "RN101": CLIPArch(512, 224, (3, 4, 23, 3), 64, None),
+    "RN50x4": CLIPArch(640, 288, (4, 6, 10, 6), 80, None,
+                       transformer_width=640, transformer_heads=10),
+    "RN50x16": CLIPArch(768, 384, (6, 8, 18, 8), 96, None,
+                        transformer_width=768, transformer_heads=12),
+    "RN50x64": CLIPArch(1024, 448, (3, 15, 36, 10), 128, None,
+                        transformer_width=1024, transformer_heads=16),
+    "ViT-B/32": CLIPArch(512, 224, 12, 768, 32),
     # ViT-B/16: 512-d embed (reference: models/model_clipspm.py:33 mid_dim=512)
     "ViT-B/16": CLIPArch(512, 224, 12, 768, 16),
+    "ViT-L/14": CLIPArch(768, 224, 24, 1024, 14, transformer_width=768,
+                         transformer_heads=12),
+    "ViT-L/14@336px": CLIPArch(768, 336, 24, 1024, 14, transformer_width=768,
+                               transformer_heads=12),
     # tiny configs for hermetic CPU tests; vocab >= 514 so a byte-level BPE
     # tokenizer (256 bytes + 256 word-final + specials) can address it
     "test-tiny": CLIPArch(32, 32, 2, 64, 8, context_length=16, vocab_size=600,
@@ -429,6 +444,13 @@ class CLIPModel(nn.Module):
         scale = jnp.exp(self.logit_scale)
         logits_per_image = scale * img @ txt.T
         return logits_per_image, logits_per_image.T
+
+
+def available_models() -> list:
+    """Named CLIP architectures (reference: models/clip_fsar.py:216-218
+    ``available_models``). Weights load from a local checkpoint via
+    ``torch_import.load_clip_checkpoint`` — no network download here."""
+    return [n for n in CLIP_ARCHS if not n.startswith("test-")]
 
 
 def build_clip(name_or_arch: Union[str, CLIPArch],

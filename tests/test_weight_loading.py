@@ -119,3 +119,34 @@ def test_splice_backbone():
     h1 = jax.tree.leaves(spliced["params"]["head"])[0]
     h2 = jax.tree.leaves(variables["params"]["head"])[0]
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_full_openai_arch_registry_builds():
+    """Every named OpenAI arch (reference: models/clip_fsar.py:184-196)
+    constructs and produces the right embed dims — shape-level only
+    (eval_shape, no FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipspm_tpu.models.backbones.clip import (available_models,
+                                                   build_clip)
+
+    expected_embed = {"RN50": 1024, "RN101": 512, "RN50x4": 640,
+                      "RN50x16": 768, "RN50x64": 1024, "ViT-B/32": 512,
+                      "ViT-B/16": 512, "ViT-L/14": 768,
+                      "ViT-L/14@336px": 768}
+    names = available_models()
+    assert set(names) == set(expected_embed)
+    for name in names:
+        clip = build_clip(name)
+        arch = clip.arch
+        assert arch.embed_dim == expected_embed[name]
+        img = jnp.zeros((1, arch.image_resolution, arch.image_resolution, 3))
+        txt = jnp.zeros((1, arch.context_length), jnp.int32)
+
+        def fwd(i=img, t=txt, c=clip):
+            v = c.init(jax.random.PRNGKey(0), i, t)
+            return c.apply(v, i, t)
+
+        li, lt = jax.eval_shape(fwd)
+        assert li.shape == (1, 1) and lt.shape == (1, 1)
