@@ -7,11 +7,11 @@ TPU-native replacement: a ``jax.sharding.Mesh`` with an ``episode`` data axis
 ``dp`` and XLA inserts the single required collective — a gradient psum over
 ICI — when the jitted train step produces replicated parameter updates.
 
-Model sizes here (CLIP RN50 / ViT-B/16, ~100M params) never need tensor or
-pipeline sharding (SURVEY §2.6); the mesh still reserves a ``tp`` axis so
-backbone matmuls *can* be sharded for very large episode batches — policies
-are expressed with ``PartitionSpec`` so enabling ``tp > 1`` is a mesh-shape
-change, not a code change.
+Model sizes here (CLIP RN50 / ViT-B/16, ~100M params) never *need* tensor or
+pipeline sharding (SURVEY §2.6), but the ``tp`` axis is fully wired: building
+the mesh with ``n_tp > 1`` megatron-shards the backbone matmuls (see
+``parallel/tensor.py``) with GSPMD inserting the row-parallel psums. Enabling
+it is a mesh-shape change, not a code change.
 """
 
 from __future__ import annotations

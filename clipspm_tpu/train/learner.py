@@ -102,6 +102,11 @@ class Learner:
             rng=jax.random.PRNGKey(int(cfg.MODEL.SEED)),
             text_train=jnp.asarray(text_train),
             text_test=jnp.asarray(text_test))
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            # megatron tensor sharding of the params (and Adam moments);
+            # GSPMD inserts the row-parallel psums — see parallel/tensor.py
+            from ..parallel.tensor import shard_train_state
+            self.state = shard_train_state(self.state, mesh)
 
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
