@@ -104,6 +104,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         arch = CLIP_ARCHS[backbone]
         if cfg.MODEL.get("FAST_SOFTMAX", False):
             arch = dataclasses.replace(arch, fast_softmax=True)
+        if cfg.MODEL.get("BF16_NORMS", False):
+            arch = dataclasses.replace(arch, bf16_norms=True)
         return arch
 
     way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)

@@ -26,6 +26,7 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
             layers=arch.vision_layers, heads=arch.vision_heads,
             output_dim=arch.embed_dim, fast_softmax=arch.fast_softmax,
             fused_attention=arch.fused_attention,
+            fp32_norms=not arch.bf16_norms,
             dtype=dtype, name=name)
     return ModifiedResNet(
         layers=arch.vision_layers, output_dim=arch.embed_dim,

@@ -121,3 +121,26 @@ def test_rn50_clip_parity(ref_clip_module):
     tokens[:, 1] = 127
     images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
     _compare(ref, tokens, images, atol=5e-4)
+
+
+def test_bf16_norms_matches_fp32_norms():
+    """bf16 LayerNorms (perf option) produce embeddings equal to fp32-LN at
+    bf16 resolution — same params tree, same results."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from clipspm_tpu.models.backbones.clip import (CLIP_ARCHS, build_clip,
+                                                   init_clip_params)
+
+    arch0 = CLIP_ARCHS["test-tiny"]
+    arch1 = dataclasses.replace(arch0, bf16_norms=True)
+    clip0, clip1 = build_clip(arch0), build_clip(arch1)
+    v = init_clip_params(clip0, jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+    a = clip0.apply(v, img, method=clip0.encode_image)
+    b = clip1.apply(v, img, method=clip1.encode_image)
+    # fp32 compute dtype here, so the two paths agree to fp noise
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
