@@ -31,4 +31,5 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
     return ModifiedResNet(
         layers=arch.vision_layers, output_dim=arch.embed_dim,
         heads=arch.vision_heads, input_resolution=arch.image_resolution,
-        width=arch.vision_width, spatial=arch.spatial, dtype=dtype, name=name)
+        width=arch.vision_width, spatial=arch.spatial,
+        fp32_norms=not arch.bf16_norms, dtype=dtype, name=name)

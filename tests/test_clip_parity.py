@@ -134,13 +134,14 @@ def test_bf16_norms_matches_fp32_norms():
     from clipspm_tpu.models.backbones.clip import (CLIP_ARCHS, build_clip,
                                                    init_clip_params)
 
-    arch0 = CLIP_ARCHS["test-tiny"]
-    arch1 = dataclasses.replace(arch0, bf16_norms=True)
-    clip0, clip1 = build_clip(arch0), build_clip(arch1)
-    v = init_clip_params(clip0, jax.random.PRNGKey(0))
-    img = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
-    a = clip0.apply(v, img, method=clip0.encode_image)
-    b = clip1.apply(v, img, method=clip1.encode_image)
-    # fp32 compute dtype here, so the two paths agree to fp noise
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-5, atol=1e-5)
+    for base in ("test-tiny", "test-tiny-rn"):   # ViT LN + ResNet BN paths
+        arch0 = CLIP_ARCHS[base]
+        arch1 = dataclasses.replace(arch0, bf16_norms=True)
+        clip0, clip1 = build_clip(arch0), build_clip(arch1)
+        v = init_clip_params(clip0, jax.random.PRNGKey(0))
+        img = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+        a = clip0.apply(v, img, method=clip0.encode_image)
+        b = clip1.apply(v, img, method=clip1.encode_image)
+        # fp32 compute dtype here, so the two paths agree to fp noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
