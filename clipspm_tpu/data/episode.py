@@ -46,4 +46,17 @@ EpisodeBatch = Episode
 
 
 def stack_episodes(episodes) -> EpisodeBatch:
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *episodes)
+    """Stack episodes into an ``[E, ...]`` batch.
+
+    Host (numpy) leaves are stacked with numpy so the batch crosses to the
+    device as ONE contiguous transfer; stacking them with ``jnp.stack`` would
+    ship every episode to the device individually first (measured 10 s for an
+    8-episode batch through the axon tunnel vs ~1.6 s host-side)."""
+    import numpy as np
+
+    def _stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs)
+        return jnp.stack(xs)
+
+    return jax.tree.map(_stack, *episodes)

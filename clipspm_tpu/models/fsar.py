@@ -17,7 +17,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .backbones.clip import CLIP_ARCHS, CLIPArch
-from .visual import IdentityBackbone, make_clip_visual  # noqa: F401 (re-export)
+from .visual import (IdentityBackbone, encode_chunked,  # noqa: F401 (re-export)
+                     make_clip_visual)
 from .heads.clipspm import CLIPSPM
 
 Dtype = Any
@@ -46,6 +47,8 @@ class CLIPSPMModel(nn.Module):
     single_direct: bool = False
     dtype: Dtype = jnp.float32
     remat_backbone: bool = False
+    # eval-time VMEM-friendly chunked encode (see visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
@@ -78,7 +81,8 @@ class CLIPSPMModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        feats = self.backbone(both, train=train)
+        feats = encode_chunked(self.backbone, both, self.encode_chunk,
+                               train=train)
         dim = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, dim)
         qu = feats[S * T:].reshape(Q, T, dim)
@@ -110,6 +114,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
     way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)
     seq_len = int(cfg.DATA.SEQ_LEN)
+    # eval-time chunked encode width (0 = off; see visual.encode_chunked)
+    chunk = int(cfg.MODEL.get("ENCODE_CHUNK", 0) or 0)
     # test-size resnet trunks use a narrow width
     rn_width = 8 if backbone == "test-tiny-resnet" else 64
     rn_arch = "resnet18" if backbone == "test-tiny-resnet" else backbone
@@ -117,7 +123,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     if name == "clipspm":
         arch = clip_arch()
         return CLIPSPMModel(
-            arch=arch, way=way, shot=shot,
+            arch=arch, way=way, shot=shot, encode_chunk=chunk,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
     if name == "clipfsar":
@@ -126,6 +132,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return CLIPFSARModel(
             arch=clip_arch(), way=way, shot=shot, dtype=dtype,
+            encode_chunk=chunk,
             transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
             single_direct=bool(m.get("SINGLE_DIRECT", False)),
@@ -137,16 +144,17 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         from .heads.sten import STENModel
 
         return STENModel(arch=clip_arch(), way=way, shot=shot,
-                         dtype=dtype)
+                         dtype=dtype, encode_chunk=chunk)
     if name == "otam":
         from .heads.otam import OTAMModel
 
         return OTAMModel(way=way, shot=shot, arch=rn_arch,
-                         backbone_width=rn_width, dtype=dtype)
+                         backbone_width=rn_width, dtype=dtype,
+                         encode_chunk=chunk)
     if name == "trx":
         from .heads.trx import TRXModel
 
-        return TRXModel(way=way, shot=shot, seq_len=seq_len,
+        return TRXModel(way=way, shot=shot, seq_len=seq_len, encode_chunk=chunk,
                         temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2, 3))),
                         out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
                                                   1152)),
@@ -157,6 +165,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         from .heads.strm import STRMModel
 
         return STRMModel(way=way, shot=shot, seq_len=seq_len,
+                         encode_chunk=chunk,
                          temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2,))),
                          out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
                                                    1152)),
@@ -169,6 +178,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return MoLoModel(
             way=way, shot=shot, seq_len=seq_len, arch=rn_arch,
+            encode_chunk=chunk,
             backbone_width=rn_width, dtype=dtype,
             num_class=int(cfg.DATA.get("NUM_CLASS", 64)),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
@@ -183,7 +193,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     if name == "soap":
         from .heads.soap import SOAPModel
 
-        return SOAPModel(way=way, shot=shot, seq_len=seq_len,
+        return SOAPModel(way=way, shot=shot, seq_len=seq_len, encode_chunk=chunk,
                          temp_set=tuple(cfg.MODEL.get("TEMP_SET", (2,))),
                          out_dim=int(cfg.MODEL.get("TRANS_LINEAR_OUT_DIM",
                                                    1152)),
@@ -197,7 +207,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
         m = cfg.MODEL
         return CPM2CModel(
-            arch=clip_arch(), way=way, shot=shot,
+            arch=clip_arch(), way=way, shot=shot, encode_chunk=chunk,
             params=dict(cfg.params), dtype=dtype,
             motion_coeff=float(m.get("MOTION_COFF", 0.5)),
             normal_coeff=float(m.get("NORMAL_COFF", 0.5)),
@@ -212,6 +222,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return TA2NModel(
             way=way, shot=shot, seq_len=seq_len, arch=rn_arch,
+            encode_chunk=chunk,
             backbone_width=rn_width, dtype=dtype,
             dropout=float(m.get("DROPOUT", 0.5)),
             dist_norm=bool(m.get("DIST_NORM", False)),

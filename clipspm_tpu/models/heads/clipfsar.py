@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ...ops.otam import otam_distance
 from ..backbones.clip import CLIPArch
 from ..blocks import TransformerV1, class_prototypes, cos_sim
-from ..visual import make_clip_visual
+from ..visual import encode_chunked, make_clip_visual
 
 Dtype = Any
 
@@ -45,6 +45,8 @@ class CLIPFSARModel(nn.Module):
     text_coff: float = 0.9
     dtype: Dtype = jnp.float32
     backbone_override: Any = None    # parity tests inject IdentityBackbone
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         d = self.arch.embed_dim
@@ -65,7 +67,8 @@ class CLIPFSARModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        feats = self.backbone(both, train=train)
+        feats = encode_chunked(self.backbone, both, self.encode_chunk,
+                               train=train)
         D = feats.shape[-1]
         return (feats[: S * T].reshape(S, T, D),
                 feats[S * T:].reshape(Q, T, D))

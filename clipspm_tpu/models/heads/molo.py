@@ -23,6 +23,7 @@ import numpy as np
 
 from ..backbones.resnet import TorchResNet
 from ..blocks import TransformerV2, class_prototypes, cos_sim
+from ..visual import encode_chunked
 
 Dtype = Any
 
@@ -121,6 +122,8 @@ class MoLoModel(nn.Module):
     factor: int = 8
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
@@ -179,7 +182,8 @@ class MoLoModel(nn.Module):
         both_clips = jnp.concatenate([support_images, target_images],
                                      axis=0).astype(self.dtype)
         frames = both_clips.reshape((S + Q) * T, H, W, 3)
-        fmap = self.backbone(frames, train=train)      # [(S+Q)T, h, w, D]
+        fmap = encode_chunked(self.backbone, frames, self.encode_chunk,
+                              train=train)   # [(S+Q)T, h, w, D]
         h, w, D = fmap.shape[1:]
         B = S + Q
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ...ops.otam import otam_distance
 from ..backbones.resnet import TorchResNet
 from ..blocks import TransformerV1, class_prototypes
+from ..visual import encode_chunked
 
 Dtype = Any
 
@@ -82,6 +83,8 @@ class OTAMModel(nn.Module):
     backbone_width: int = 64
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
@@ -101,7 +104,8 @@ class OTAMModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        fmap = self.backbone(both, train=train)   # [N, h, w, D]
+        fmap = encode_chunked(self.backbone, both, self.encode_chunk,
+                              train=train)   # [N, h, w, D]
         N, h, w, D = fmap.shape
         tokens = fmap.reshape(N, h * w, D)
         su_sp = tokens[: S * T].reshape(S, T, h * w, D)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..backbones.resnet import TorchResNet
+from ..visual import encode_chunked
 from .trx import TemporalCrossTransformer
 
 Dtype = Any
@@ -116,6 +117,8 @@ class SOAPModel(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.prior = SOAPPrior(seq_len=self.seq_len, horizons=self.horizons,
@@ -147,7 +150,8 @@ class SOAPModel(nn.Module):
         both = jnp.concatenate(
             [su_clips.reshape((S * T,) + su_clips.shape[2:]),
              qu_clips.reshape((Q * T,) + qu_clips.shape[2:])], axis=0)
-        feats = self.backbone(both, train=train)
+        feats = encode_chunked(self.backbone, both, self.encode_chunk,
+                               train=train)
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..backbones.clip import CLIPArch
 from ..blocks import class_prototypes, cos_sim
-from ..visual import make_clip_visual
+from ..visual import encode_chunked, make_clip_visual
 
 Dtype = Any
 
@@ -26,6 +26,8 @@ class STENModel(nn.Module):
     shot: int
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = (self.backbone_override
@@ -42,7 +44,8 @@ class STENModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        feats = self.backbone(both, train=train)
+        feats = encode_chunked(self.backbone, both, self.encode_chunk,
+                               train=train)
         D = feats.shape[-1]
         su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
         qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)

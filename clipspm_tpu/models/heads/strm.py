@@ -22,6 +22,7 @@ import numpy as np
 
 from ..backbones.resnet import TorchResNet
 from ..blocks import group_by_class
+from ..visual import encode_chunked
 from .trx import TemporalCrossTransformer, trx_positional_table
 
 Dtype = Any
@@ -152,6 +153,8 @@ class STRMModel(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
@@ -186,7 +189,8 @@ class STRMModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        fmap = self.backbone(both, train=train)                # [N, h, w, D]
+        fmap = encode_chunked(self.backbone, both, self.encode_chunk,
+                              train=train)   # [N, h, w, D]
         fmap = adaptive_max_pool_2d(fmap, self.num_patches_side,
                                     self.num_patches_side)
         N, ph, pw, D = fmap.shape

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..backbones.resnet import TorchResNet
 from ..blocks import group_by_class
+from ..visual import encode_chunked
 
 Dtype = Any
 
@@ -220,6 +221,8 @@ class TA2NModel(nn.Module):
     second_stage: bool = True
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
@@ -272,7 +275,8 @@ class TA2NModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        fmap = self.backbone(both, train=train)             # [N, h, w, D]
+        fmap = encode_chunked(self.backbone, both, self.encode_chunk,
+                              train=train)   # [N, h, w, D]
         fmap = self.feat_dropout(fmap, deterministic=det)
         h, w, D = fmap.shape[1:]
         su = fmap[: S * T].reshape(S, T, h, w, D)

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..backbones.resnet import TorchResNet
 from ..blocks import group_by_class
+from ..visual import encode_chunked
 
 Dtype = Any
 
@@ -112,6 +113,8 @@ class TRXModel(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     backbone_override: Any = None
+    # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
+    encode_chunk: int = 0
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="pooled",
@@ -135,7 +138,8 @@ class TRXModel(nn.Module):
             [support_images.reshape((S * T,) + support_images.shape[2:]),
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
-        feats = self.backbone(both, train=train)
+        feats = encode_chunked(self.backbone, both, self.encode_chunk,
+                               train=train)
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)

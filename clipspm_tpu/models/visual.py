@@ -17,6 +17,38 @@ class IdentityBackbone(nn.Module):
         return x.reshape(x.shape[0], -1)
 
 
+def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
+                   train: bool = False) -> jnp.ndarray:
+    """Encode ``[N, ...]`` frames through ``backbone`` in VMEM-friendly chunks.
+
+    On v5e the ViT-B/16 encode gets *slower* per frame as the batch grows
+    (measured: 3310 fps at 120 frames, 3068 at 240, 2657 at 960) because
+    large activation tensors spill to HBM between fused ops. Scanning the
+    frame batch in small chunks keeps each chunk's activations VMEM-resident
+    while weights stream once per chunk — measured 4150 fps at chunk=30 on
+    the production 240-frame episode encode (~35% faster end-to-end eval).
+
+    Eval-only: in training mode (or chunk<=0 / chunk>=N) this falls through
+    to one batched call, so BatchNorm batch statistics and gradient
+    rematerialisation behavior are unchanged.
+    """
+    N = frames.shape[0]
+    if train or not chunk or chunk >= N:
+        return backbone(frames, train=train)
+    pad = (-N) % chunk
+    if pad:
+        frames = jnp.concatenate([frames, frames[:pad]], axis=0)
+    K = frames.shape[0] // chunk
+    fr = frames.reshape((K, chunk) + frames.shape[1:])
+    scan = nn.scan(lambda bb, _, c: (None, bb(c, train=False)),
+                   variable_broadcast=["params", "batch_stats"],
+                   split_rngs={"params": False, "dropout": False},
+                   in_axes=0, out_axes=0, length=K)
+    _, feats = scan(backbone, None, fr)
+    feats = feats.reshape((K * chunk,) + feats.shape[2:])
+    return feats[:N] if pad else feats
+
+
 def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
                      name: str = "visual") -> nn.Module:
     if arch.is_vit:
