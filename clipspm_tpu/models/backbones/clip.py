@@ -42,10 +42,17 @@ class CLIPArch:
     spatial: Union[bool, str] = False
     # bf16 softmax in the transformer attention (max-shifted, still stable);
     # ~10%% faster ViT step on v5e; default off for strict fp32-softmax parity
+    #
+    # Note there is deliberately NO fused/Pallas attention option: at the
+    # CLIP sequence lengths (L=197 vision / 77 text) XLA's own attention
+    # fusion beats every hand kernel we measured on v5e — a flash-style
+    # Pallas kernel with zero-copy [B,H,L,hd] blocks and megacore-parallel
+    # grid was still ~16% slower end-to-end (88.8 ms vs 76.5 ms for the
+    # 12-layer stack at B=240; round-2 measurements). Flash attention pays
+    # off when the L x L score tile dominates HBM traffic, i.e. at sequence
+    # lengths far beyond this workload. The eval-time throughput lever here
+    # is batch shaping instead (see visual.encode_chunked).
     fast_softmax: bool = False
-    # fused Pallas attention kernel (scores never leave VMEM); forward-only
-    # fusion, backward falls back to XLA attention. Implies bf16 softmax.
-    fused_attention: bool = False
     # LayerNorms/BatchNorms in the compute dtype instead of fp32 (safe for
     # bf16 — see FP32LayerNorm; +5% E2E ViT eval, ~15% RN50 tower); default
     # off for strict fp32-norm parity
@@ -275,7 +282,6 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     causal: bool = False
     fast_softmax: bool = False
-    fused_attention: bool = False
     fp32_norms: bool = True
     dtype: Dtype = jnp.float32
 
@@ -291,24 +297,6 @@ class ResidualAttentionBlock(nn.Module):
                              hd).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        if self.fused_attention and not self.causal:
-            from ...ops.attention_pallas import fused_attention
-
-            B, L = x.shape[0], x.shape[1]
-            qf = qh.reshape(B * self.n_head, L, hd)
-            kf = kh.reshape(B * self.n_head, L, hd)
-            vf = vh.reshape(B * self.n_head, L, hd)
-            out = fused_attention(qf, kf, vf, hd ** -0.5)
-            out = out.reshape(B, self.n_head, L, hd)
-            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
-            out = nn.Dense(self.d_model, dtype=self.dtype,
-                           name="out_proj")(out)
-            x = x + out
-            h = FP32LayerNorm(self.fp32_norms, name="ln_2")(x)
-            h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
-            h = quick_gelu(h)
-            h = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
-            return x + h
         attn = jnp.einsum("bhid,bhjd->bhij", qh, kh,
                           preferred_element_type=jnp.float32) * hd ** -0.5
         if self.causal:
@@ -341,7 +329,6 @@ class TransformerStack(nn.Module):
     heads: int
     causal: bool = False
     fast_softmax: bool = False
-    fused_attention: bool = False
     fp32_norms: bool = True
     dtype: Dtype = jnp.float32
 
@@ -351,7 +338,6 @@ class TransformerStack(nn.Module):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        causal=self.causal,
                                        fast_softmax=self.fast_softmax,
-                                       fused_attention=self.fused_attention,
                                        fp32_norms=self.fp32_norms,
                                        dtype=self.dtype,
                                        name=f"resblock_{i}")(x)
@@ -368,7 +354,6 @@ class VisionTransformer(nn.Module):
     heads: int
     output_dim: int
     fast_softmax: bool = False
-    fused_attention: bool = False
     fp32_norms: bool = True
     dtype: Dtype = jnp.float32
 
@@ -393,7 +378,6 @@ class VisionTransformer(nn.Module):
         x = FP32LayerNorm(self.fp32_norms, name="ln_pre")(x)
         x = TransformerStack(self.width, self.layers, self.heads,
                              fast_softmax=self.fast_softmax,
-                             fused_attention=self.fused_attention,
                              fp32_norms=self.fp32_norms,
                              dtype=self.dtype, name="transformer")(x)
         x = FP32LayerNorm(self.fp32_norms, name="ln_post")(x[:, 0])
@@ -420,7 +404,6 @@ class CLIPModel(nn.Module):
                 patch_size=a.vision_patch_size, width=a.vision_width,
                 layers=a.vision_layers, heads=a.vision_heads,
                 output_dim=a.embed_dim, fast_softmax=a.fast_softmax,
-                fused_attention=a.fused_attention,
                 fp32_norms=not a.bf16_norms, dtype=self.dtype)
         else:
             self.visual = ModifiedResNet(

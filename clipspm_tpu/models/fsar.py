@@ -49,6 +49,7 @@ class CLIPSPMModel(nn.Module):
     remat_backbone: bool = False
     # eval-time VMEM-friendly chunked encode (see visual.encode_chunked)
     encode_chunk: int = 0
+    otam_backend: str = "scan"
 
     def setup(self):
         self.backbone = make_clip_visual(self.arch, dtype=self.dtype,
@@ -56,6 +57,7 @@ class CLIPSPMModel(nn.Module):
         self.head = CLIPSPM(dim=self.arch.embed_dim, way=self.way,
                             shot=self.shot, spm=self.spm,
                             single_direct=self.single_direct,
+                            otam_backend=self.otam_backend,
                             dtype=self.dtype, name="head")
 
     def encode_frames(self, images: jnp.ndarray, *, train: bool = False):
@@ -116,6 +118,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     seq_len = int(cfg.DATA.SEQ_LEN)
     # eval-time chunked encode width (0 = off; see visual.encode_chunked)
     chunk = int(cfg.MODEL.get("ENCODE_CHUNK", 0) or 0)
+    otam_backend = str(cfg.MODEL.get("OTAM_BACKEND", "scan") or "scan")
     # test-size resnet trunks use a narrow width
     rn_width = 8 if backbone == "test-tiny-resnet" else 64
     rn_arch = "resnet18" if backbone == "test-tiny-resnet" else backbone
@@ -124,6 +127,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         arch = clip_arch()
         return CLIPSPMModel(
             arch=arch, way=way, shot=shot, encode_chunk=chunk,
+            otam_backend=otam_backend,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
     if name == "clipfsar":
@@ -132,7 +136,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return CLIPFSARModel(
             arch=clip_arch(), way=way, shot=shot, dtype=dtype,
-            encode_chunk=chunk,
+            encode_chunk=chunk, otam_backend=otam_backend,
             transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
             single_direct=bool(m.get("SINGLE_DIRECT", False)),
@@ -150,7 +154,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
         return OTAMModel(way=way, shot=shot, arch=rn_arch,
                          backbone_width=rn_width, dtype=dtype,
-                         encode_chunk=chunk)
+                         encode_chunk=chunk, otam_backend=otam_backend)
     if name == "trx":
         from .heads.trx import TRXModel
 
@@ -208,6 +212,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return CPM2CModel(
             arch=clip_arch(), way=way, shot=shot, encode_chunk=chunk,
+            otam_backend=otam_backend,
             params=dict(cfg.params), dtype=dtype,
             motion_coeff=float(m.get("MOTION_COFF", 0.5)),
             normal_coeff=float(m.get("NORMAL_COFF", 0.5)),

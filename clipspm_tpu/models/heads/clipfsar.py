@@ -47,6 +47,8 @@ class CLIPFSARModel(nn.Module):
     backbone_override: Any = None    # parity tests inject IdentityBackbone
     # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
     encode_chunk: int = 0
+    # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
+    otam_backend: str = "scan"
 
     def setup(self):
         d = self.arch.embed_dim
@@ -97,7 +99,8 @@ class CLIPFSARModel(nn.Module):
             su2 = class_prototypes(su2, support_labels, self.way)
         return otam_distance(su2.astype(jnp.float32),
                              qu2.astype(jnp.float32), lbda=0.5,
-                             bidirectional=not self.single_direct)
+                             bidirectional=not self.single_direct,
+                             backend=self.otam_backend)
 
     def _text_logits(self, qu, support_labels, text_gathered):
         """(reference: models/model_clipfsar.py:243-254)"""

@@ -66,6 +66,9 @@ class CLIPSPM(nn.Module):
     spm: Mapping[str, float]
     single_direct: bool = False
     use_consist_text: bool = False
+    # OTAM DP backend: "scan" (anti-diagonal lax.scan wavefront) or "pallas"
+    # (ops/otam_pallas.py VMEM kernel); config key MODEL.OTAM_BACKEND
+    otam_backend: str = "scan"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -149,7 +152,8 @@ class CLIPSPM(nn.Module):
     def _otam(self, support, query):
         return otam_distance(support.astype(jnp.float32),
                              query.astype(jnp.float32),
-                             lbda=0.5, bidirectional=not self.single_direct)
+                             lbda=0.5, bidirectional=not self.single_direct,
+                             backend=self.otam_backend)
 
     def _sem(self, su, qu, su_l, context_support, target_context_support, *,
              deterministic):

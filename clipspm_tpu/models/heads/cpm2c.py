@@ -66,6 +66,8 @@ class CPM2CModel(nn.Module):
     backbone_override: Any = None
     # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
     encode_chunk: int = 0
+    # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
+    otam_backend: str = "scan"
 
     def setup(self):
         d = self.arch.embed_dim
@@ -180,7 +182,8 @@ class CPM2CModel(nn.Module):
     def _otam(self, support, query):
         return otam_distance(support.astype(jnp.float32),
                              query.astype(jnp.float32), lbda=0.5,
-                             bidirectional=not self.single_direct)
+                             bidirectional=not self.single_direct,
+                             backend=self.otam_backend)
 
     def _global_distance(self, su_g, su_l, qu):
         """(reference :319-328) su_g: [S, D]; qu: [Q, T+1, D] -> [way, Q]."""

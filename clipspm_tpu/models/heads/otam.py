@@ -85,6 +85,8 @@ class OTAMModel(nn.Module):
     backbone_override: Any = None
     # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
     encode_chunk: int = 0
+    # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
+    otam_backend: str = "scan"
 
     def setup(self):
         self.backbone = self.backbone_override or TorchResNet(arch=self.arch, output="spatial",
@@ -117,6 +119,7 @@ class OTAMModel(nn.Module):
         su = su_sp.mean(axis=2)   # adaptive-avg-pool -> [S, T, D]
         qu = qu_sp.mean(axis=2)
         cum = otam_distance(su.astype(jnp.float32), qu.astype(jnp.float32),
-                            lbda=0.1, bidirectional=True)   # [Q, S]
+                            lbda=0.1, bidirectional=True,
+                            backend=self.otam_backend)   # [Q, S]
         class_dists = class_prototypes(cum.T, support_labels, self.way).T
         return {"logits": -class_dists[None], "mo_logits": mo_logits}

@@ -57,7 +57,6 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
             patch_size=arch.vision_patch_size, width=arch.vision_width,
             layers=arch.vision_layers, heads=arch.vision_heads,
             output_dim=arch.embed_dim, fast_softmax=arch.fast_softmax,
-            fused_attention=arch.fused_attention,
             fp32_norms=not arch.bf16_norms,
             dtype=dtype, name=name)
     return ModifiedResNet(
