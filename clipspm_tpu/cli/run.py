@@ -24,6 +24,10 @@ def parse_args(argv=None):
                    help="path to base.yaml (defaults to configs/base.yaml)")
     p.add_argument("--splits-root", default=None,
                    help="directory containing the splits/ tree")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="permit CLIP-head runs without pretrained weights / "
+                        "the OpenAI BPE vocab (results are meaningless for "
+                        "accuracy comparison)")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="KEY.PATH=value overrides")
     return p.parse_args(argv)
@@ -49,7 +53,8 @@ def main(argv=None):
         logfile.flush()
 
     log(f"Options: {cfg.dump()}")
-    learner = build_learner(cfg, log_fn=log)
+    learner = build_learner(cfg, log_fn=log,
+                            allow_random_weights=args.allow_random_weights)
     manager = CheckpointManager(ckpt_dir)
 
     if cfg.CHECKPOINT.get("RESUME_FROM_CHECKPOINT", False) \
