@@ -65,7 +65,9 @@ def main(argv=None):
 
     from clipspm_tpu.utils.metrics import MetricsWriter
 
-    metrics = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"))
+    # JSONL + TensorBoard event files (reference: run/main_run.py:50-53)
+    metrics = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"),
+                            tb_dir=os.path.join(ckpt_dir, "tb"))
     if cfg.TEST.ONLY_TEST:
         log("Conduct Testing:")
         if manager.exists("best"):
