@@ -75,9 +75,9 @@ def ref_cpm2c():
     return load_sub("model_cpm2c")
 
 
-def test_cpm2c_full_forward_parity(ref_cpm2c):
-    import jax.numpy as jnp
-
+def build_cpm2c_pair(ref_cpm2c):
+    """(torch CLIP_CPMMC_FSAR, flax CPM2CModel, converted params, episode
+    arrays) — shared by the forward- and gradient-parity tests."""
     from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
     from clipspm_tpu.models.fsar import IdentityBackbone
     from clipspm_tpu.models.heads.cpm2c import CPM2CModel
@@ -108,15 +108,6 @@ def test_cpm2c_full_forward_parity(ref_cpm2c):
     labels = np.asarray([0, 1, 0, 1], np.int32)
     real_sup = np.asarray([0, 2, 0, 2], np.int32)
     real_tgt = np.asarray([2, 0, 2, 0], np.int32)
-
-    with torch.no_grad():
-        want = ref({
-            "context_images": torch.from_numpy(su.reshape(S * T, DIM)),
-            "context_labels": torch.from_numpy(labels).float(),
-            "target_images": torch.from_numpy(qu.reshape(Q * T, DIM)),
-            "real_support_labels": torch.from_numpy(real_sup).float(),
-            "real_target_labels": torch.from_numpy(real_tgt).float(),
-        })
 
     def dense(lin):
         p = {"kernel": lin.weight.detach().numpy().T}
@@ -166,13 +157,33 @@ def test_cpm2c_full_forward_parity(ref_cpm2c):
     ours = CPM2CModel(arch=CLIP_ARCHS["RN50"], way=WAY, shot=SHOT,
                       params=params, motion_coeff=0.4, normal_coeff=0.6,
                       backbone_override=IdentityBackbone())
+    return ref, ours, hp, (su, qu, labels, real_sup, real_tgt,
+                           ref.text_features_train.detach().numpy(),
+                           ref.text_features_test.detach().numpy(), DIM)
+
+
+def test_cpm2c_full_forward_parity(ref_cpm2c):
+    import jax.numpy as jnp
+
+    ref, ours, hp, (su, qu, labels, real_sup, real_tgt,
+                    text_train, text_test, DIM) = build_cpm2c_pair(ref_cpm2c)
+
+    with torch.no_grad():
+        want = ref({
+            "context_images": torch.from_numpy(su.reshape(S * T, DIM)),
+            "context_labels": torch.from_numpy(labels).float(),
+            "target_images": torch.from_numpy(qu.reshape(Q * T, DIM)),
+            "real_support_labels": torch.from_numpy(real_sup).float(),
+            "real_target_labels": torch.from_numpy(real_tgt).float(),
+        })
+
     got = ours.apply(
         {"params": hp},
         jnp.asarray(su.reshape(S, T, 1, 1, DIM)),
         jnp.asarray(qu.reshape(Q, T, 1, 1, DIM)),
         jnp.asarray(labels), jnp.asarray(real_sup), jnp.asarray(real_tgt),
-        jnp.asarray(ref.text_features_train.detach().numpy()),
-        jnp.asarray(ref.text_features_test.detach().numpy()),
+        jnp.asarray(text_train),
+        jnp.asarray(text_test),
         train=False)
 
     np.testing.assert_allclose(np.asarray(got["logits_local"]),

@@ -113,9 +113,10 @@ def _transformer_v2(t):
     }
 
 
-def test_molo_full_forward_parity(ref_molo):
+def build_molo_pair(ref_molo):
+    """(torch CNN_BiMHM_MoLo, flax MoLoModel, params, batch_stats, episode
+    arrays) — shared by the forward- and gradient-parity tests."""
     import flax.linen as fnn
-    import jax.numpy as jnp
 
     from clipspm_tpu.models.heads.molo import MoLoModel
 
@@ -133,11 +134,6 @@ def test_molo_full_forward_parity(ref_molo):
     su = rng.uniform(size=(S * T, 3, IMG, IMG)).astype(np.float32)
     qu = rng.uniform(size=(Q * T, 3, IMG, IMG)).astype(np.float32)
     labels = np.asarray([0, 1, 0, 1], np.int32)
-
-    with torch.no_grad():
-        want = ref({"context_images": torch.from_numpy(su),
-                    "context_labels": torch.from_numpy(labels).float(),
-                    "target_images": torch.from_numpy(qu)})
 
     # --- weight conversion ------------------------------------------------
     class ConvStub(fnn.Module):
@@ -176,6 +172,19 @@ def test_molo_full_forward_parity(ref_molo):
 
     su_j = su.reshape(S, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
     qu_j = qu.reshape(Q, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
+    return ref, ours, params, stats, (su, qu, su_j, qu_j, labels)
+
+
+def test_molo_full_forward_parity(ref_molo):
+    import jax.numpy as jnp
+
+    ref, ours, params, stats, (su, qu, su_j, qu_j, labels) = \
+        build_molo_pair(ref_molo)
+
+    with torch.no_grad():
+        want = ref({"context_images": torch.from_numpy(su),
+                    "context_labels": torch.from_numpy(labels).float(),
+                    "target_images": torch.from_numpy(qu)})
     got = ours.apply(
         {"params": params, "batch_stats": stats},
         jnp.asarray(su_j), jnp.asarray(qu_j), jnp.asarray(labels),

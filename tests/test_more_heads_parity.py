@@ -110,9 +110,10 @@ def refload():
 # SOAP — full forward with a conv-stub backbone
 # ---------------------------------------------------------------------------
 
-def test_soap_full_forward_parity(refload):
+def build_soap_pair(refload):
+    """(torch CNN_SOAP, flax SOAPModel, params, episode arrays) — shared by
+    the forward- and gradient-parity tests."""
     import flax.linen as fnn
-    import jax.numpy as jnp
 
     from clipspm_tpu.models.heads.soap import SOAPModel
 
@@ -163,11 +164,6 @@ def test_soap_full_forward_parity(refload):
     qu = rng.uniform(size=(Q * T, 3, IMG, IMG)).astype(np.float32)
     labels = np.asarray([0, 1, 0, 1], np.int32)
 
-    with torch.no_grad():
-        want = ref({"context_images": torch.from_numpy(su),
-                    "context_labels": torch.from_numpy(labels).float(),
-                    "target_images": torch.from_numpy(qu)})
-
     class ConvStub(fnn.Module):
         feature_dim: int = DIM
 
@@ -207,6 +203,18 @@ def test_soap_full_forward_parity(refload):
                      backbone_override=ConvStub())
     su_j = su.reshape(S, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
     qu_j = qu.reshape(Q, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
+    return ref, ours, params, (su, qu, su_j, qu_j, labels)
+
+
+def test_soap_full_forward_parity(refload):
+    import jax.numpy as jnp
+
+    ref, ours, params, (su, qu, su_j, qu_j, labels) = build_soap_pair(refload)
+
+    with torch.no_grad():
+        want = ref({"context_images": torch.from_numpy(su),
+                    "context_labels": torch.from_numpy(labels).float(),
+                    "target_images": torch.from_numpy(qu)})
     got = ours.apply({"params": params}, jnp.asarray(su_j), jnp.asarray(qu_j),
                      jnp.asarray(labels), train=False)
     np.testing.assert_allclose(np.asarray(got["logits"]),
@@ -290,9 +298,10 @@ def _dummy_clip(refload, dim):
     return clip_fsar
 
 
-def test_sten_full_forward_parity(refload):
-    import jax.numpy as jnp
-
+def build_sten_pair(refload):
+    """(torch sten, flax STENModel, episode arrays incl. text tables) —
+    shared by the forward- and gradient-parity tests. sten has no learnable
+    head parameters; parity runs on features through Identity backbones."""
     from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
     from clipspm_tpu.models.fsar import IdentityBackbone
     from clipspm_tpu.models.heads.sten import STENModel
@@ -324,6 +333,20 @@ def test_sten_full_forward_parity(refload):
     real_sup = np.asarray([0, 2, 0, 2], np.int32)
     real_tgt = np.asarray([2, 0, 2, 0], np.int32)
 
+    ours = STENModel(arch=CLIP_ARCHS["RN50"], way=WAY, shot=SHOT,
+                     backbone_override=IdentityBackbone())
+    text_train = ref.text_features_train.detach().numpy()
+    text_test = ref.text_features_test.detach().numpy()
+    return ref, ours, (su, qu, labels, real_sup, real_tgt,
+                       text_train, text_test, DIM, Tn)
+
+
+def test_sten_full_forward_parity(refload):
+    import jax.numpy as jnp
+
+    ref, ours, (su, qu, labels, real_sup, real_tgt, text_train, text_test,
+                DIM, Tn) = build_sten_pair(refload)
+
     with torch.no_grad():
         want = ref({
             "context_images": torch.from_numpy(su.reshape(S * Tn, DIM)),
@@ -332,15 +355,12 @@ def test_sten_full_forward_parity(refload):
             "real_support_labels": torch.from_numpy(real_sup).float(),
         })["logits"].numpy()
 
-    text_test = ref.text_features_test.detach().numpy()
-    ours = STENModel(arch=CLIP_ARCHS["RN50"], way=WAY, shot=SHOT,
-                     backbone_override=IdentityBackbone())
     got = ours.apply(
         {"params": {}},
         jnp.asarray(su.reshape(S, Tn, 1, 1, DIM)),
         jnp.asarray(qu.reshape(Q, Tn, 1, 1, DIM)),
         jnp.asarray(labels), jnp.asarray(real_sup), jnp.asarray(real_tgt),
-        jnp.asarray(ref.text_features_train.detach().numpy()),
+        jnp.asarray(text_train),
         jnp.asarray(text_test), train=False)
     np.testing.assert_allclose(np.asarray(got["logits"]), want,
                                atol=1e-4, rtol=1e-3)

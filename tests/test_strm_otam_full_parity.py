@@ -93,9 +93,10 @@ def _conv2d(c):
     return p
 
 
-def test_strm_full_forward_parity(refload):
+def build_strm_pair(refload):
+    """(torch CNN_STRM, flax STRMModel, converted params, episode arrays) —
+    shared by the forward- and gradient-parity tests."""
     import flax.linen as fnn
-    import jax.numpy as jnp
 
     from clipspm_tpu.models.heads.strm import STRMModel
 
@@ -137,11 +138,6 @@ def test_strm_full_forward_parity(refload):
     su = rng.uniform(size=(S * T, 3, IMG, IMG)).astype(np.float32)
     qu = rng.uniform(size=(Q * T, 3, IMG, IMG)).astype(np.float32)
     labels = np.asarray([0, 1, 0, 1], np.int32)
-
-    with torch.no_grad():
-        want = ref({"context_images": torch.from_numpy(su),
-                    "context_labels": torch.from_numpy(labels).float(),
-                    "target_images": torch.from_numpy(qu)})
 
     class ConvStub(fnn.Module):
         feature_dim: int = DIM
@@ -185,6 +181,18 @@ def test_strm_full_forward_parity(refload):
                      out_dim=24, backbone_override=ConvStub())
     su_j = su.reshape(S, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
     qu_j = qu.reshape(Q, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
+    return ref, ours, params, (su, qu, su_j, qu_j, labels)
+
+
+def test_strm_full_forward_parity(refload):
+    import jax.numpy as jnp
+
+    ref, ours, params, (su, qu, su_j, qu_j, labels) = build_strm_pair(refload)
+
+    with torch.no_grad():
+        want = ref({"context_images": torch.from_numpy(su),
+                    "context_labels": torch.from_numpy(labels).float(),
+                    "target_images": torch.from_numpy(qu)})
     got = ours.apply({"params": params}, jnp.asarray(su_j), jnp.asarray(qu_j),
                      jnp.asarray(labels), train=False)
     np.testing.assert_allclose(np.asarray(got["logits"]),

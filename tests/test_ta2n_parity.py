@@ -135,9 +135,10 @@ def _bn(b):
              "var": b.running_var.detach().numpy()})
 
 
-def test_ta2n_full_forward_parity(ref_ta2n):
+def build_ta2n_pair(ref_ta2n):
+    """(torch CNN, flax TA2NModel, params, batch_stats, episode arrays) —
+    shared by the forward- and gradient-parity tests."""
     import flax.linen as fnn
-    import jax.numpy as jnp
 
     from clipspm_tpu.models.heads.ta2n import TA2NModel
 
@@ -158,10 +159,6 @@ def test_ta2n_full_forward_parity(ref_ta2n):
     # (SURVEY repair note); feed labels in class-major order so both agree
     labels = np.asarray([0, 0, 1, 1], np.int32)
     qu = rng.uniform(size=(Q * T, 3, IMG, IMG)).astype(np.float32)
-
-    with torch.no_grad():
-        want = ref(torch.from_numpy(su), torch.from_numpy(labels).float(),
-                   torch.from_numpy(qu))["logits"].numpy()
 
     class ConvStub(fnn.Module):
         feature_dim: int = DIM
@@ -202,6 +199,19 @@ def test_ta2n_full_forward_parity(ref_ta2n):
                      backbone_override=ConvStub())
     su_j = su.reshape(S, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
     qu_j = qu.reshape(Q, T, 3, IMG, IMG).transpose(0, 1, 3, 4, 2)
+    return ref, ours, params, stats, (su, qu, su_j, qu_j, labels)
+
+
+def test_ta2n_full_forward_parity(ref_ta2n):
+    import jax.numpy as jnp
+
+    ref, ours, params, stats, (su, qu, su_j, qu_j, labels) = \
+        build_ta2n_pair(ref_ta2n)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(su), torch.from_numpy(labels).float(),
+                   torch.from_numpy(qu))["logits"].numpy()
+
     got = ours.apply({"params": params, "batch_stats": stats},
                      jnp.asarray(su_j), jnp.asarray(qu_j),
                      jnp.asarray(labels), train=False)
