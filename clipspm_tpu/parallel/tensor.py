@@ -15,6 +15,17 @@ pre-norm transformers:
 Everything else (LayerNorms, embeddings, heads) is replicated. Annotations
 are placement only — GSPMD keeps the math identical and inserts the
 collectives, so enabling tp never changes results beyond fp reduction order.
+
+The RN50 conv tower stays **replicated** by design: the whole tower is
+~38 M params (~76 MB bf16), so replication costs little HBM, while sharding
+conv output channels would split every BatchNorm's per-channel statistics
+across chips (cross-replica stat sync on the hot path) and the 224² spatial
+convs leave no matmul dimension that amortizes the extra collectives at
+these sizes. The scaling axis for FSAR is episodes (dp), not tower width.
+The RN50 *attention pool* (`c_proj`, a Dense) does shard — it is the only
+matmul-shaped RN50 layer — and the ViT/text transformers shard fully.
+``tests/test_parallel_and_checkpoint.py::test_tensor_parallel_rn50_tower``
+asserts both facts and tp-vs-sequential parity on the RN50 arch.
 """
 
 from __future__ import annotations

@@ -168,3 +168,58 @@ def test_tensor_parallel_matches_sequential():
     b = jax.tree.leaves(par.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_tensor_parallel_rn50_tower():
+    """tp on the RN50 (ModifiedResNet) arch: the conv tower stays
+    replicated BY DESIGN (BatchNorm per-channel stats + no matmul dim worth
+    sharding at these sizes — see parallel/tensor.py docstring), the
+    attention-pool ``c_proj`` Dense shards over tp, and the tp result
+    matches the sequential one."""
+    import jax.tree_util as jtu
+
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    from clipspm_tpu.models.fsar import CLIPSPMModel as _M
+
+    arch = CLIP_ARCHS["test-tiny-rn"]
+    model = _M(arch=arch, way=WAY, shot=SHOT,
+               spm=SPM_DEFAULT_PARAMS["hmdb"])
+    S, Q, D = WAY * SHOT, WAY * QUERIES, arch.embed_dim
+    dummy = (
+        jnp.zeros((S, T, IMG, IMG, 3), jnp.float32),
+        jnp.zeros((Q, T, IMG, IMG, 3), jnp.float32),
+        jnp.arange(S, dtype=jnp.int32) % WAY,
+        jnp.zeros((S,), jnp.int32), jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((8, D), jnp.float32), jnp.zeros((8, D), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    want = model.apply(variables, *dummy, train=False)["logits"]
+
+    from clipspm_tpu.parallel import make_mesh
+    from clipspm_tpu.parallel.tensor import megatron_specs, shard_params
+
+    mesh = make_mesh(n_dp=2, n_tp=2, devices=devices[:4])
+    with mesh:
+        sharded = shard_params(variables["params"], mesh)
+        flat = jtu.tree_leaves_with_path(megatron_specs(
+            variables["params"], 2))
+        conv_specs = [s for p, s in flat
+                      if "conv" in jtu.keystr(p) and "c_proj" not in
+                      jtu.keystr(p)]
+        attnpool_cproj = [s for p, s in flat
+                          if "attnpool" in jtu.keystr(p)
+                          and "c_proj" in jtu.keystr(p)
+                          and "kernel" in jtu.keystr(p)]
+        # conv tower replicated; attnpool c_proj row-sharded over tp
+        from jax.sharding import PartitionSpec as P
+        assert conv_specs and all(s == P() for s in conv_specs)
+        assert attnpool_cproj and all("tp" in str(s) for s in attnpool_cproj)
+
+        sv = dict(variables)
+        sv["params"] = sharded
+        got = jax.jit(lambda v: model.apply(v, *dummy, train=False)["logits"]
+                      )(sv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
