@@ -308,11 +308,17 @@ def main():
         "device": str(jax.devices()[0]),
     }
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        train_eps, compile_s = _bench_train(
-            jax, jnp, model, variables, episodes, n_staged, text, img, Q,
-            key, n_iters)
-        extras["train_eps_per_sec"] = round(train_eps, 3)
-        extras["train_step_compile_s"] = round(compile_s, 1)
+        # never lose the eval numbers to a train-step failure (the shared
+        # TPU occasionally throws transient RESOURCE_EXHAUSTED on the large
+        # backward compile)
+        try:
+            train_eps, compile_s = _bench_train(
+                jax, jnp, model, variables, episodes, n_staged, text, img, Q,
+                key, n_iters)
+            extras["train_eps_per_sec"] = round(train_eps, 3)
+            extras["train_step_compile_s"] = round(compile_s, 1)
+        except Exception as e:  # pragma: no cover - depends on chip state
+            extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
