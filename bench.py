@@ -230,9 +230,13 @@ def main():
     # bf16_norms: LayerNorms in bf16; encode_chunk: VMEM-resident encode
     arch = dataclasses.replace(CLIP_ARCHS["ViT-B/16"], fast_softmax=True,
                                bf16_norms=True)
+    # train_encode_chunk: scan-carried residuals cap backward peak HBM (the
+    # unchunked 280-frame ViT-B/16 backward OOMs a shared v5e); identical
+    # math for the ViT tower (no BN batch stats / dropout inside) — see
+    # tests/test_train_encode_chunk.py
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
-                         encode_chunk=chunk)
+                         encode_chunk=chunk, train_encode_chunk=True)
     S, Q, D = way * shot, way * queries, arch.embed_dim
 
     rng = jax.random.PRNGKey(0)

@@ -49,6 +49,9 @@ class CLIPSPMModel(nn.Module):
     remat_backbone: bool = False
     # eval-time VMEM-friendly chunked encode (see visual.encode_chunked)
     encode_chunk: int = 0
+    # chunk the training encode too (ViT only: no BN/dropout in the tower);
+    # scan-carried residuals cut backward peak HBM ~N/chunk-fold
+    train_encode_chunk: bool = False
     otam_backend: str = "scan"
 
     def setup(self):
@@ -84,7 +87,8 @@ class CLIPSPMModel(nn.Module):
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
-                               train=train)
+                               train=train,
+                               train_chunk=self.train_encode_chunk)
         dim = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, dim)
         qu = feats[S * T:].reshape(Q, T, dim)
@@ -127,6 +131,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         arch = clip_arch()
         return CLIPSPMModel(
             arch=arch, way=way, shot=shot, encode_chunk=chunk,
+            train_encode_chunk=bool(cfg.MODEL.get("TRAIN_ENCODE_CHUNK",
+                                                  False)),
             otam_backend=otam_backend,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))

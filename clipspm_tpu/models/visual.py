@@ -18,7 +18,8 @@ class IdentityBackbone(nn.Module):
 
 
 def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
-                   train: bool = False) -> jnp.ndarray:
+                   train: bool = False,
+                   train_chunk: bool = False) -> jnp.ndarray:
     """Encode ``[N, ...]`` frames through ``backbone`` in VMEM-friendly chunks.
 
     On v5e the ViT-B/16 encode gets *slower* per frame as the batch grows
@@ -28,19 +29,32 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
     while weights stream once per chunk — measured 4150 fps at chunk=30 on
     the production 240-frame episode encode (~35% faster end-to-end eval).
 
-    Eval-only: in training mode (or chunk<=0 / chunk>=N) this falls through
-    to one batched call, so BatchNorm batch statistics and gradient
-    rematerialisation behavior are unchanged.
+    By default chunking is eval-only: in training mode (or chunk<=0 /
+    chunk>=N) this falls through to one batched call. ``train_chunk=True``
+    chunks the *training* forward too, with the scan body rematerialised:
+    without remat the scan stacks every chunk's residuals (measured 44.9 G
+    for the 240-frame ViT-B/16 backward — the attention scores alone are
+    K x [chunk, 12, 197, 197]) and the TPU compile rejects it; with remat
+    the backward holds ONE chunk's residuals and recomputes per chunk, so
+    peak HBM drops ~K-fold for a ~1/3 FLOPs overhead on the backward.
+    Only valid for backbones with no BatchNorm batch statistics and no
+    dropout inside (CLIP ViT qualifies: per-chunk semantics are identical).
     """
     N = frames.shape[0]
-    if train or not chunk or chunk >= N:
+    if (train and not train_chunk) or not chunk or chunk >= N:
         return backbone(frames, train=train)
     pad = (-N) % chunk
     if pad:
         frames = jnp.concatenate([frames, frames[:pad]], axis=0)
     K = frames.shape[0] // chunk
     fr = frames.reshape((K, chunk) + frames.shape[1:])
-    scan = nn.scan(lambda bb, _, c: (None, bb(c, train=False)),
+    body = lambda bb, _, c: (None, bb(c, train=train))
+    if train:
+        # prevent_cse=False is safe (and faster) inside scan: the scan body
+        # is already a single compiled region, so XLA cannot CSE across the
+        # remat boundary
+        body = nn.remat(body, prevent_cse=False)
+    scan = nn.scan(body,
                    variable_broadcast=["params", "batch_stats"],
                    split_rngs={"params": False, "dropout": False},
                    in_axes=0, out_axes=0, length=K)
