@@ -91,6 +91,55 @@ def _bench_train(jax, jnp, model, variables, episodes, n_staged, text, img,
     return 1.0 / t, compile_s
 
 
+def _bench_train_accum(jax, jnp, model, variables, episodes, n_staged, text,
+                       quick: bool):
+    """Production train step: the Learner's own jitted scan-accumulated
+    TASKS_PER_BATCH-episode step (grads summed over E episodes, ONE optax
+    update, one device dispatch — reference: run/main_run.py:193-210).
+    Reported as eps/s so it is comparable with the single-episode number;
+    the accumulated step amortizes both the ~29 ms dispatch and the
+    optimizer update over E episodes."""
+    from clipspm_tpu.data.episode import Episode, stack_episodes
+    from clipspm_tpu.train.learner import Learner
+    from clipspm_tpu.utils.config import ConfigNode
+
+    E = int(os.environ.get("BENCH_TRAIN_ACCUM", "8" if quick else "16"))
+    cfg = ConfigNode({
+        "MODEL": {"NAME": "clipspm", "BACKBONE": "ViT-B/16", "SEED": 0},
+        "TRAIN": {"WAY": 5, "SHOT": 5, "TASKS_PER_BATCH": E},
+        "SOLVER": {"LR": 1e-4, "WEIGHT_DECAY": 5e-5, "LR_SCH": 1000000,
+                   "OPTIM_METHOD": "adam"},
+        "DATA": {"SEQ_LEN": 8, "IMG_SIZE": 224, "DATASET": "hmdb"},
+    })
+    learner = Learner(cfg, model, dict(variables), text_train=text,
+                      text_test=text)
+
+    def batch_of(shift):
+        eps = []
+        for i in range(E):
+            s, t, sl, rs, rt = episodes[(i + shift) % n_staged]
+            eps.append(Episode(
+                support_images=s, target_images=t, support_labels=sl,
+                target_labels=sl[: t.shape[0]],
+                real_support_labels=rs, real_target_labels=rt,
+                batch_class_list=jnp.arange(5, dtype=jnp.int32)))
+        return stack_episodes(eps)
+
+    batches = [batch_of(s) for s in range(2)]
+    t_c0 = time.perf_counter()
+    st, _ = learner._train_step(learner.state, batches[0])
+    _sync(st.episode)
+    compile_s = time.perf_counter() - t_c0
+    ts = []
+    for i in range(2 if quick else 3):
+        t0 = time.perf_counter()
+        st, _ = learner._train_step(st, batches[i % 2])
+        _sync(st.episode.astype(jnp.float32))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    return E / t, compile_s, E
+
+
 def bench_e2e(quick: bool):
     """Disk->device end-to-end eval: real JPEG dataset + threaded loader +
     native decoder + device transform + encode (reference eval loop:
@@ -230,13 +279,15 @@ def main():
     # bf16_norms: LayerNorms in bf16; encode_chunk: VMEM-resident encode
     arch = dataclasses.replace(CLIP_ARCHS["ViT-B/16"], fast_softmax=True,
                                bf16_norms=True)
-    # train_encode_chunk: scan-carried residuals cap backward peak HBM (the
-    # unchunked 280-frame ViT-B/16 backward OOMs a shared v5e); identical
+    # train_encode_chunk: remat-chunked train encode caps backward peak HBM
+    # (the unchunked 240-frame ViT-B/16 backward wants 44.9 G); identical
     # math for the ViT tower (no BN batch stats / dropout inside) — see
-    # tests/test_train_encode_chunk.py
+    # tests/test_train_encode_chunk.py. Width 40 is the measured train
+    # optimum (eval's is 30).
+    train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK", "40"))
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
-                         encode_chunk=chunk, train_encode_chunk=True)
+                         encode_chunk=chunk, train_encode_chunk=train_chunk)
     S, Q, D = way * shot, way * queries, arch.embed_dim
 
     rng = jax.random.PRNGKey(0)
@@ -323,6 +374,14 @@ def main():
             extras["train_step_compile_s"] = round(compile_s, 1)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            acc_eps, acc_compile_s, acc_E = _bench_train_accum(
+                jax, jnp, model, variables, episodes, n_staged, text, quick)
+            extras["train_accum_eps_per_sec"] = round(acc_eps, 3)
+            extras["train_accum_E"] = acc_E
+            extras["train_accum_compile_s"] = round(acc_compile_s, 1)
+        except Exception as e:  # pragma: no cover - depends on chip state
+            extras["train_accum_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")

@@ -51,7 +51,7 @@ class CLIPSPMModel(nn.Module):
     encode_chunk: int = 0
     # chunk the training encode too (ViT only: no BN/dropout in the tower);
     # scan-carried residuals cut backward peak HBM ~N/chunk-fold
-    train_encode_chunk: bool = False
+    train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
     otam_backend: str = "scan"
 
     def setup(self):
@@ -120,8 +120,34 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
     way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)
     seq_len = int(cfg.DATA.SEQ_LEN)
-    # eval-time chunked encode width (0 = off; see visual.encode_chunked)
-    chunk = int(cfg.MODEL.get("ENCODE_CHUNK", 0) or 0)
+    # Chunked-encode defaults (see visual.encode_chunked). For full-size CLIP
+    # ViT backbones the defaults are ON so the out-of-box config both runs
+    # fast (30-frame VMEM-resident eval chunks, ~35% faster eval) and FITS
+    # (the unchunked 240-frame ViT-B/16 train backward wants 44.9 G of
+    # residuals — more HBM than a v5e chip has; the remat-chunked train
+    # encode is gradient-exact, tests/test_train_encode_chunk.py). Both are
+    # config-overridable; non-CLIP (BatchNorm) backbones default off, and
+    # train chunking is rejected for them (scan-broadcast batch stats
+    # cannot update, and per-chunk BN batch statistics would differ).
+    is_full_vit = (backbone in CLIP_ARCHS and CLIP_ARCHS[backbone].is_vit
+                   and backbone != "test-tiny")
+    chunk_cfg = cfg.MODEL.get("ENCODE_CHUNK", None)
+    chunk = int(chunk_cfg or 0) if chunk_cfg is not None else (
+        30 if is_full_vit else 0)
+    # train width default 40: the train-step optimum differs from eval's 30
+    # (measured 3.17 vs 2.92 eps/s on v5e — remat recompute amortizes
+    # better over slightly larger chunks). TRAIN_ENCODE_CHUNK: false/0=off,
+    # true/1=reuse ENCODE_CHUNK, >1=explicit width.
+    tec_cfg = cfg.MODEL.get("TRAIN_ENCODE_CHUNK", None)
+    train_chunk = (40 if is_full_vit else 0) if tec_cfg is None else int(
+        tec_cfg or 0)
+    if train_chunk and not (backbone in CLIP_ARCHS
+                            and CLIP_ARCHS[backbone].is_vit):
+        raise ValueError(
+            "MODEL.TRAIN_ENCODE_CHUNK requires a CLIP ViT backbone: "
+            f"{backbone!r} has BatchNorm batch statistics, which cannot be "
+            "updated inside the chunked-encode scan and would make per-chunk "
+            "training semantics differ from the unchunked step")
     otam_backend = str(cfg.MODEL.get("OTAM_BACKEND", "scan") or "scan")
     # test-size resnet trunks use a narrow width
     rn_width = 8 if backbone == "test-tiny-resnet" else 64
@@ -131,8 +157,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         arch = clip_arch()
         return CLIPSPMModel(
             arch=arch, way=way, shot=shot, encode_chunk=chunk,
-            train_encode_chunk=bool(cfg.MODEL.get("TRAIN_ENCODE_CHUNK",
-                                                  False)),
+            train_encode_chunk=train_chunk,
             otam_backend=otam_backend,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
@@ -142,7 +167,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return CLIPFSARModel(
             arch=clip_arch(), way=way, shot=shot, dtype=dtype,
-            encode_chunk=chunk, otam_backend=otam_backend,
+            encode_chunk=chunk, train_encode_chunk=train_chunk,
+            otam_backend=otam_backend,
             transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
             single_direct=bool(m.get("SINGLE_DIRECT", False)),
@@ -154,7 +180,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         from .heads.sten import STENModel
 
         return STENModel(arch=clip_arch(), way=way, shot=shot,
-                         dtype=dtype, encode_chunk=chunk)
+                         dtype=dtype, encode_chunk=chunk,
+                         train_encode_chunk=train_chunk)
     if name == "otam":
         from .heads.otam import OTAMModel
 
@@ -218,6 +245,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         m = cfg.MODEL
         return CPM2CModel(
             arch=clip_arch(), way=way, shot=shot, encode_chunk=chunk,
+            train_encode_chunk=train_chunk,
             otam_backend=otam_backend,
             params=dict(cfg.params), dtype=dtype,
             motion_coeff=float(m.get("MOTION_COFF", 0.5)),

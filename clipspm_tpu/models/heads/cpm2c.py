@@ -66,6 +66,8 @@ class CPM2CModel(nn.Module):
     backbone_override: Any = None
     # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
     encode_chunk: int = 0
+    # remat-chunked training encode (ViT only; see visual.encode_chunked)
+    train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
     # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
     otam_backend: str = "scan"
 
@@ -235,7 +237,8 @@ class CPM2CModel(nn.Module):
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
-                               train=train)
+                               train=train,
+                               train_chunk=self.train_encode_chunk)
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)

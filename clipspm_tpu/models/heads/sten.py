@@ -28,6 +28,8 @@ class STENModel(nn.Module):
     backbone_override: Any = None
     # eval-time VMEM-friendly chunked encode (visual.encode_chunked)
     encode_chunk: int = 0
+    # remat-chunked training encode (ViT only; see visual.encode_chunked)
+    train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
 
     def setup(self):
         self.backbone = (self.backbone_override
@@ -45,7 +47,8 @@ class STENModel(nn.Module):
              target_images.reshape((Q * T,) + target_images.shape[2:])],
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
-                               train=train)
+                               train=train,
+                               train_chunk=self.train_encode_chunk)
         D = feats.shape[-1]
         su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
         qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)

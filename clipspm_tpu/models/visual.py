@@ -19,7 +19,7 @@ class IdentityBackbone(nn.Module):
 
 def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
                    train: bool = False,
-                   train_chunk: bool = False) -> jnp.ndarray:
+                   train_chunk: int = 0) -> jnp.ndarray:
     """Encode ``[N, ...]`` frames through ``backbone`` in VMEM-friendly chunks.
 
     On v5e the ViT-B/16 encode gets *slower* per frame as the batch grows
@@ -39,9 +39,17 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
     peak HBM drops ~K-fold for a ~1/3 FLOPs overhead on the backward.
     Only valid for backbones with no BatchNorm batch statistics and no
     dropout inside (CLIP ViT qualifies: per-chunk semantics are identical).
+
+    ``train_chunk``: 0 disables train-mode chunking; ``True``/1 reuses the
+    eval ``chunk`` width; an int > 1 is an explicit train width. The optima
+    differ — measured ViT-B/16 240-frame train step on v5e: 3.17 eps/s at
+    width 40 vs 2.92 at the eval-optimal 30 (remat recompute amortizes
+    better over slightly larger chunks; 60 regresses to 2.93, VMEM spill).
     """
     N = frames.shape[0]
-    if (train and not train_chunk) or not chunk or chunk >= N:
+    if train:
+        chunk = chunk if train_chunk in (True, 1) else int(train_chunk)
+    if not chunk or chunk >= N:
         return backbone(frames, train=train)
     pad = (-N) % chunk
     if pad:

@@ -15,11 +15,17 @@ from clipspm_tpu.models.fsar import CLIPSPMModel
 from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
 
 
-def test_train_chunked_forward_and_grads_match():
+import pytest
+
+
+@pytest.mark.parametrize("train_chunk", [True, 4])
+def test_train_chunked_forward_and_grads_match(train_chunk):
+    # True reuses the eval width (3); 4 is a distinct train width (the
+    # production default uses 40-frame train chunks vs 30 for eval)
     arch = CLIP_ARCHS["test-tiny"]
     kw = dict(arch=arch, way=2, shot=1, spm=SPM_DEFAULT_PARAMS["hmdb"])
     m0 = CLIPSPMModel(**kw)
-    m1 = CLIPSPMModel(**kw, encode_chunk=3, train_encode_chunk=True)
+    m1 = CLIPSPMModel(**kw, encode_chunk=3, train_encode_chunk=train_chunk)
     S, Q, T, img, D = 2, 2, 4, 32, arch.embed_dim
     rng = np.random.default_rng(0)
     args = (jnp.asarray(rng.uniform(size=(S, T, img, img, 3)), jnp.float32),
