@@ -32,9 +32,10 @@ def _cfg(tpb):
     })
 
 
-def _build(cfg, mesh=None, parallel=1):
+def _build(cfg, mesh=None, parallel=1, **model_kw):
     arch = CLIP_ARCHS["test-tiny"]
-    model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT, spm=dict(cfg.params))
+    model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT, spm=dict(cfg.params),
+                         **model_kw)
     S, Q, D = WAY * SHOT, WAY * QUERIES, arch.embed_dim
     dummy = (
         jnp.zeros((S, T, IMG, IMG, 3), jnp.float32),
@@ -223,3 +224,34 @@ def test_tensor_parallel_rn50_tower():
                       )(sv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_encode_under_mesh_matches_unchunked_sequential():
+    """The production memory/throughput config — chunked eval encode plus
+    remat-chunked TRAIN encode (visual.encode_chunked) — composes with the
+    dp x tp mesh: the sharded chunked step reproduces the unchunked
+    sequential step's loss and updated params. Guards the interaction of
+    nn.scan/nn.remat with GSPMD param sharding (scan carries megatron-
+    sharded weights as broadcast vars)."""
+    devices = jax.devices("cpu")
+    if len(devices) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    src = SyntheticEpisodeSource(way=WAY, shot=SHOT, queries=QUERIES,
+                                 seq_len=T, img_size=IMG + 8, num_classes=8,
+                                 seed=13)
+    episodes = [src.sample() for _ in range(4)]
+
+    seq = _build(_cfg(4))
+    m_seq = seq.train_episodes(list(episodes))
+
+    mesh = make_mesh(n_dp=2, n_tp=2, devices=devices[:4])
+    with mesh:
+        par = _build(_cfg(4), mesh=mesh, parallel=2,
+                     encode_chunk=3, train_encode_chunk=4)
+        m_par = par.train_episodes(list(episodes))
+
+    np.testing.assert_allclose(m_seq["loss"], m_par["loss"], rtol=1e-3)
+    a = jax.tree.leaves(seq.state.params)[0]
+    b = jax.tree.leaves(par.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-4)
