@@ -23,9 +23,13 @@ baseline is this repo's first recorded measurement (bench_baseline.json,
 8.59 eps/s single-episode eval, round 1) so later rounds report progress.
 
 Flags: ``--quick`` (fewer iters). Env: ``BENCH_TRAIN=0`` skips the
-train-step measurement (its backward compile takes minutes on a cold remote
-compile cache); ``BENCH_CHUNK`` overrides the encode chunk width (default 30,
-measured optimum on v5e); ``BENCH_E`` overrides the eval batch (default 32).
+train-step measurements (their backward compiles take minutes on a cold
+remote compile cache); ``BENCH_CHUNK`` overrides the eval encode chunk width
+(default 30 for ViT, off for RN50); ``BENCH_TRAIN_CHUNK`` the train width
+(default 40 for ViT); ``BENCH_E`` the eval batch (default 32; measured
+asymptote — 17.34/17.43/17.48 eps/s at E=32/48/64); ``BENCH_TRAIN_ACCUM``
+the accumulated-step episode count (default 16); ``BENCH_ARCH`` the CLIP
+backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower).
 """
 
 import json
@@ -71,9 +75,16 @@ def _bench_train(jax, jnp, model, variables, episodes, n_staged, text, img,
             tgt = episode_device_transform(tgt_u8, key, train=True,
                                            img_size=img, resize_to=256,
                                            dtype=jnp.bfloat16)
-            out = model.apply({"params": params}, sup, tgt, sup_labels,
-                              real_sup, real_tgt, text, text, train=True,
-                              rngs={"dropout": key})
+            v = dict(variables, params=params)
+            if "batch_stats" in variables:   # RN50 tower: BN batch stats
+                out, _ = model.apply(v, sup, tgt, sup_labels,
+                                     real_sup, real_tgt, text, text,
+                                     train=True, rngs={"dropout": key},
+                                     mutable=["batch_stats"])
+            else:
+                out = model.apply(v, sup, tgt, sup_labels,
+                                  real_sup, real_tgt, text, text, train=True,
+                                  rngs={"dropout": key})
             loss, _ = loss_and_acc("clipspm", out, sup_labels[:Q] * 0,
                                    real_sup, real_tgt, 16, train=True)
             return loss
@@ -105,7 +116,9 @@ def _bench_train_accum(jax, jnp, model, variables, episodes, n_staged, text,
 
     E = int(os.environ.get("BENCH_TRAIN_ACCUM", "8" if quick else "16"))
     cfg = ConfigNode({
-        "MODEL": {"NAME": "clipspm", "BACKBONE": "ViT-B/16", "SEED": 0},
+        # BACKBONE here is informational only — the Learner receives the
+        # already-built ``model`` (whatever BENCH_ARCH selected)
+        "MODEL": {"NAME": "clipspm", "BACKBONE": "bench", "SEED": 0},
         "TRAIN": {"WAY": 5, "SHOT": 5, "TASKS_PER_BATCH": E},
         "SOLVER": {"LR": 1e-4, "WEIGHT_DECAY": 5e-5, "LR_SCH": 1000000,
                    "OPTIM_METHOD": "adam"},
@@ -273,18 +286,25 @@ def main():
     import dataclasses
 
     way, shot, queries, T, img = 5, 5, 1, 8, 224
-    chunk = int(os.environ.get("BENCH_CHUNK", "30"))
+    # BENCH_ARCH=RN50 benches the reference's other headline backbone (the
+    # CLIP ModifiedResNet tower); chunking defaults are ViT-measured, so
+    # RN50 runs unchunked unless BENCH_CHUNK is set.
+    arch_name = os.environ.get("BENCH_ARCH", "ViT-B/16")
+    is_vit = CLIP_ARCHS[arch_name].is_vit
+    chunk = int(os.environ.get("BENCH_CHUNK", "30" if is_vit else "0"))
     E = int(os.environ.get("BENCH_E", "16" if quick else "32"))
     # fast_softmax: bf16 attention softmax (max-shifted), ~10% faster on v5e
     # bf16_norms: LayerNorms in bf16; encode_chunk: VMEM-resident encode
-    arch = dataclasses.replace(CLIP_ARCHS["ViT-B/16"], fast_softmax=True,
+    arch = dataclasses.replace(CLIP_ARCHS[arch_name], fast_softmax=True,
                                bf16_norms=True)
     # train_encode_chunk: remat-chunked train encode caps backward peak HBM
     # (the unchunked 240-frame ViT-B/16 backward wants 44.9 G); identical
     # math for the ViT tower (no BN batch stats / dropout inside) — see
     # tests/test_train_encode_chunk.py. Width 40 is the measured train
-    # optimum (eval's is 30).
-    train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK", "40"))
+    # optimum (eval's is 30). ViT-only: per-chunk BN batch statistics would
+    # change RN50 training semantics.
+    train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK",
+                                     "40" if is_vit else "0"))
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
                          encode_chunk=chunk, train_encode_chunk=train_chunk)
@@ -397,11 +417,14 @@ def main():
                                "no throughput numbers"}, f)
 
     print(json.dumps({
-        "metric": "episodes/sec/chip (5w5s 8f ViT-B/16 eval, batched "
+        "metric": f"episodes/sec/chip (5w5s 8f {arch_name} eval, batched "
                   f"E={E})",
         "value": round(batched_eps_per_sec, 3),
         "unit": "episodes/s",
-        "vs_baseline": round(batched_eps_per_sec / baseline, 3),
+        # the baseline pin is the round-1 ViT-B/16 number; a non-default
+        # arch is not comparable to it
+        "vs_baseline": (round(batched_eps_per_sec / baseline, 3)
+                        if arch_name == "ViT-B/16" else None),
         "extras": extras,
     }))
 
