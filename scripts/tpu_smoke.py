@@ -9,8 +9,12 @@ episode latency. CLIP heads run both the flagship ViT-B/16 and (clipfsar)
 the RN50 ModifiedResNet tower so both CLIP towers are exercised at full
 size.
 
-Usage: ``timeout 3600 python scripts/tpu_smoke.py [head ...]``
-(default: all ten). Results table recorded in README "Benchmarks".
+Usage: ``timeout 3600 python scripts/tpu_smoke.py [--train] [head ...]``
+(default: all ten, eval forward). ``--train`` additionally runs one jitted
+gradient step per head (the reference training signal via
+``train/losses.py:loss_and_acc`` dispatch) — proving every head's backward
+fits and runs at production shape, not just its forward. Results table
+recorded in README "Benchmarks".
 """
 
 import json
@@ -41,7 +45,9 @@ HEAD_MODEL = {
     "strm": {"BACKBONE": "resnet50", "TEMP_SET": [2],
              "TRANS_LINEAR_OUT_DIM": 1152, "TRANS_DROPOUT": 0.1},
     "molo": {"BACKBONE": "resnet50", "USE_CLASSIFICATION": True,
-             "USE_CONTRASTIVE": True},
+             "USE_CLASSIFICATION_VALUE": 0.6, "USE_CONTRASTIVE": True,
+             "USE_CONTRASTIVE_COFF": 0.05, "USE_RECONS": True,
+             "RECONS_COFF": 0.05},
     "soap": {"BACKBONE": "resnet50", "TEMP_SET": [2],
              "TRANS_LINEAR_OUT_DIM": 1152, "TRANS_DROPOUT": 0.1,
              "O": [2, 3], "cr": 16},
@@ -49,12 +55,14 @@ HEAD_MODEL = {
 }
 
 
-def smoke_one(name: str, way=5, shot=5, queries=1, T=8, img=224):
+def smoke_one(name: str, way=5, shot=5, queries=1, T=8, img=224,
+              train=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from clipspm_tpu.models.fsar import build_model
+    from clipspm_tpu.train.losses import loss_and_acc
     from clipspm_tpu.utils.config import ConfigNode, SPM_DEFAULT_PARAMS
 
     cfg = ConfigNode({
@@ -94,19 +102,55 @@ def smoke_one(name: str, way=5, shot=5, queries=1, T=8, img=224):
         float(fwd(variables, *args).astype(jnp.float32).sum())
         ts.append(time.perf_counter() - t0)
     lat = float(np.median(ts[1:]))
-    return {"head": name, "backbone": HEAD_MODEL[name]["BACKBONE"],
-            "finite": ok, "init_s": round(init_s, 1),
-            "compile_s": round(compile_s, 1),
-            "episode_ms": round(lat * 1e3, 1),
-            "eps_per_sec": round(1.0 / lat, 2)}
+    out = {"head": name, "backbone": HEAD_MODEL[name]["BACKBONE"],
+           "finite": ok, "init_s": round(init_s, 1),
+           "compile_s": round(compile_s, 1),
+           "episode_ms": round(lat * 1e3, 1),
+           "eps_per_sec": round(1.0 / lat, 2)}
+    if not train:
+        return out
+
+    tgt_labels = args[2][: way * queries] * 0 + jnp.arange(
+        way * queries, dtype=jnp.int32) % way
+
+    @jax.jit
+    def grad_step(variables, *a):
+        def loss_fn(params):
+            v = dict(variables, params=params)
+            kw = dict(train=True, rngs={"dropout": jax.random.PRNGKey(0)})
+            if "batch_stats" in variables:
+                o, _ = model.apply(v, *a, mutable=["batch_stats"], **kw)
+            else:
+                o = model.apply(v, *a, **kw)
+            loss, _ = loss_and_acc(name, o, tgt_labels, a[3], a[4], 16,
+                                   cfg=cfg, train=True)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return loss + sum(jnp.sum(g) * 0 for g in jax.tree.leaves(grads))
+
+    t0 = time.perf_counter()
+    l0 = float(grad_step(variables, *args))
+    out["train_compile_s"] = round(time.perf_counter() - t0, 1)
+    out["train_loss_finite"] = bool(np.isfinite(l0))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(grad_step(variables, *args))
+        ts.append(time.perf_counter() - t0)
+    out["train_episode_ms"] = round(float(np.median(ts)) * 1e3, 1)
+    out["train_eps_per_sec"] = round(1e3 / out["train_episode_ms"], 2)
+    out["finite"] = ok and out["train_loss_finite"]
+    return out
 
 
 def main():
-    heads = sys.argv[1:] or list(HEAD_MODEL)
+    argv = [a for a in sys.argv[1:] if a != "--train"]
+    train = "--train" in sys.argv[1:]
+    heads = argv or list(HEAD_MODEL)
     results = []
     for name in heads:
         try:
-            r = smoke_one(name)
+            r = smoke_one(name, train=train)
         except Exception as e:  # noqa: BLE001 - report-and-continue smoke
             r = {"head": name, "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(r), flush=True)
