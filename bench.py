@@ -244,9 +244,13 @@ def bench_e2e(quick: bool):
 
     n_b = 3 if quick else 6
     # steady-state: loader prefetch threads fill while the device computes;
-    # depth-1 pipeline (dispatch batch i+1 before syncing batch i)
-    pend = batched(variables, next_batch())
+    # depth-1 pipeline (dispatch batch i+1 before syncing batch i). The
+    # timed window must contain the SAME number of host-staging cycles as
+    # batches credited — starting t0 after the first next_batch() would
+    # credit n_b+1 batches against n_b stagings and overstate throughput by
+    # (n_b+1)/n_b when the host path is the bottleneck.
     t0 = time.perf_counter()
+    pend = batched(variables, next_batch())
     for _ in range(n_b):
         nxt = batched(variables, next_batch())
         _sync(pend)

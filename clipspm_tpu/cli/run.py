@@ -68,11 +68,13 @@ def main(argv=None):
     # JSONL + TensorBoard event files (reference: run/main_run.py:50-53)
     metrics = MetricsWriter(os.path.join(ckpt_dir, "metrics.jsonl"),
                             tb_dir=os.path.join(ckpt_dir, "tb"))
+    eval_batch = max(1, int(cfg.TEST.get("EVAL_BATCH", 1) or 1))
     if cfg.TEST.ONLY_TEST:
         log("Conduct Testing:")
         if manager.exists("best"):
             learner.state = manager.restore("best", learner.state)["state"]
-        res = learner.evaluate(int(cfg.TEST.TEST_EPISODES))
+        res = learner.evaluate(int(cfg.TEST.TEST_EPISODES),
+                               batch_size=eval_batch)
         log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "
             f"+/- {res['confidence']:.2f} (loss {res['loss']:.4f})")
         metrics.scalars({f"TEST/{cfg.DATA.DATASET}_acc": res["accuracy"],
@@ -84,7 +86,7 @@ def main(argv=None):
                 learner.state, "best", best_acc=acc),
             periodic_checkpoint_fn=lambda ep: manager.save(
                 learner.state, f"iter_{ep}"),
-            metrics=metrics)
+            metrics=metrics, eval_batch_size=eval_batch)
     metrics.close()
     logfile.close()
 

@@ -132,8 +132,14 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     is_full_vit = (backbone in CLIP_ARCHS and CLIP_ARCHS[backbone].is_vit
                    and backbone != "test-tiny")
     chunk_cfg = cfg.MODEL.get("ENCODE_CHUNK", None)
-    chunk = int(chunk_cfg or 0) if chunk_cfg is not None else (
-        30 if is_full_vit else 0)
+    if chunk_cfg is None:
+        chunk = 30 if is_full_vit else 0
+    elif chunk_cfg is True:
+        # "enable at the default width" — without this, YAML `true` would
+        # parse as width 1: a 240-step scan of single-frame backbone calls
+        chunk = 30
+    else:
+        chunk = int(chunk_cfg or 0)
     # train width default 40: the train-step optimum differs from eval's 30
     # (measured 3.17 vs 2.92 eps/s on v5e — remat recompute amortizes
     # better over slightly larger chunks). TRAIN_ENCODE_CHUNK: false/0=off,

@@ -297,6 +297,12 @@ class Learner:
         from ..data.episode import stack_episodes
 
         source = source or self.test_source
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        if batch_size > 1 and batch_size % dp:
+            # _eval_batch_impl shards over dp only when E % dp == 0 — round
+            # the batch UP so the sharded path stays active (the padded
+            # episodes are trimmed from the metrics below)
+            batch_size += dp - batch_size % dp
         accs, losses = [], []
         it = iter(source)
         done = 0

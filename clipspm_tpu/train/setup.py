@@ -122,6 +122,19 @@ class DegradedModeError(RuntimeError):
     """
 
 
+def _has_restorable_checkpoint(cfg) -> bool:
+    """True when ONLY_TEST will restore a trained state over the freshly
+    initialised weights (the CLI restores ``checkpoint_best`` from
+    ``CHECKPOINT.CHECKPOINT_DIR`` before evaluating — see cli/run.py)."""
+    try:
+        from .checkpoint import CheckpointManager
+
+        ckdir = str(cfg.CHECKPOINT.CHECKPOINT_DIR)
+        return bool(ckdir) and CheckpointManager(ckdir).exists("best")
+    except Exception:
+        return False
+
+
 def build_learner(cfg, log_fn=print,
                   allow_random_weights: bool = False) -> Learner:
     """Full production wiring: data + model + weights + text tables.
@@ -157,7 +170,12 @@ def build_learner(cfg, log_fn=print,
                             " SYNTHETIC vocabulary, not CLIP's")
         if degraded:
             msg = "; ".join(degraded)
-            if bool(cfg.TEST.ONLY_TEST) and not allow_random_weights:
+            if bool(cfg.TEST.ONLY_TEST) and not allow_random_weights \
+                    and not _has_restorable_checkpoint(cfg):
+                # A trained checkpoint is self-contained (TrainState stores
+                # params, batch_stats AND the text tables), so eval from one
+                # is legitimate even without local CLIP assets — the CLI
+                # restores it over these degraded weights before evaluating.
                 raise DegradedModeError(
                     f"refusing to evaluate CLIP head {cfg.MODEL.NAME!r} in a"
                     f" degraded state: {msg}. Pass --allow-random-weights to"

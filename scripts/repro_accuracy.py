@@ -103,8 +103,9 @@ def main(argv=None):
     p.add_argument("--data-root",
                    default=os.environ.get("CLIPSPM_DATA_ROOT", "/data"))
     p.add_argument("--checkpoint-dir", default=None)
-    p.add_argument("--eval-batch", type=int, default=1,
-                   help="episodes per device step (batched eval)")
+    p.add_argument("--eval-batch", type=int, default=16,
+                   help="episodes per device step (batched eval; 1 = "
+                        "reference-style single-episode loop)")
     p.add_argument("--smoke", action="store_true",
                    help="run the full path on the synthetic dataset with "
                         "random weights (no real assets needed)")
@@ -141,6 +142,7 @@ def main(argv=None):
         f"TRAIN.SHOT={args.shot}",
         "TEST.ONLY_TEST=true",
         f"TEST.TEST_EPISODES={args.episodes}",
+        f"TEST.EVAL_BATCH={args.eval_batch}",
         f"DATA.DATA_DIR={args.data_root}",
     ]
     if args.checkpoint_dir:

@@ -50,6 +50,10 @@ def test_explicit_override_wins():
     assert m.train_encode_chunk == 1
     m = build_model(_cfg("ViT-B/16", TRAIN_ENCODE_CHUNK=24))
     assert m.train_encode_chunk == 24
+    # ENCODE_CHUNK: true means "enable at the default width", NOT width 1
+    # (a 240-step single-frame scan)
+    m = build_model(_cfg("RN50", ENCODE_CHUNK=True))
+    assert m.encode_chunk == 30
 
 
 def test_train_chunk_rejected_for_batchnorm_backbones():

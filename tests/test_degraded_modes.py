@@ -70,3 +70,41 @@ def test_override_downgrades_error_to_warning():
     except Exception:
         pass  # fails later on the missing dataset, as expected
     assert any("degraded CLIP setup" in w for w in warnings), warnings
+
+
+def test_existing_checkpoint_allows_eval(tmp_path):
+    """A trained checkpoint is self-contained (params + batch_stats + text
+    tables live in the TrainState), so ONLY_TEST with a restorable
+    ``checkpoint_best`` must NOT refuse on missing CLIP assets — the CLI
+    restores the checkpoint over the degraded weights before evaluating."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipspm_tpu.models.backbones.clip import CLIP_ARCHS
+    from clipspm_tpu.models.fsar import build_model
+    from clipspm_tpu.train.checkpoint import CheckpointManager
+    from clipspm_tpu.train.learner import Learner, TransformSpec
+    from clipspm_tpu.train.setup import DegradedModeError, build_learner
+
+    cfg = _clip_eval_cfg()
+    cfg.CHECKPOINT = {"CHECKPOINT_DIR": str(tmp_path)}
+    model = build_model(cfg)
+    D = CLIP_ARCHS["test-tiny"].embed_dim
+    dummy = (jnp.zeros((2, 2, 32, 32, 3), jnp.float32),
+             jnp.zeros((2, 2, 32, 32, 3), jnp.float32),
+             jnp.arange(2, dtype=jnp.int32),
+             jnp.zeros((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+             jnp.zeros((2, D), jnp.float32), jnp.zeros((2, D), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    learner = Learner(cfg, model, variables,
+                      transform=TransformSpec(img_size=32, resize_to=40))
+    CheckpointManager(str(tmp_path)).save(learner.state, "best", best_acc=1.0)
+
+    warnings = []
+    try:
+        build_learner(cfg, log_fn=warnings.append)
+    except DegradedModeError:
+        pytest.fail("refused to evaluate despite a restorable checkpoint")
+    except Exception:
+        pass  # fails later on the missing dataset, as expected
+    assert any("degraded CLIP setup" in w for w in warnings), warnings

@@ -255,3 +255,31 @@ def test_chunked_encode_under_mesh_matches_unchunked_sequential():
     b = jax.tree.leaves(par.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_eval_batch_rounds_up_to_dp_multiple():
+    """evaluate() must keep the dp-sharded batched path active for any
+    requested batch size: _eval_batch_impl only shards when E % dp == 0, so
+    an indivisible batch_size is rounded UP (padded episodes are trimmed
+    from the metrics) instead of silently falling back to per-chip
+    sequential eval."""
+    devices = jax.devices("cpu")
+    if len(devices) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    eps = [SyntheticEpisodeSource(way=WAY, shot=SHOT, queries=QUERIES,
+                                  seq_len=T, img_size=IMG + 8, num_classes=8,
+                                  seed=17).sample() for _ in range(3)]
+
+    seq = _build(_cfg(2))
+    r_seq = seq.evaluate(3, source=iter(eps), batch_size=1)
+
+    mesh = make_mesh(n_dp=2, devices=devices[:2])
+    with mesh:
+        par = _build(_cfg(2), mesh=mesh, parallel=2)
+        # batch_size=3 is not divisible by dp=2 — must still run (rounded
+        # to 4) and produce the same accuracy over the same 3 episodes
+        r_par = par.evaluate(3, source=iter(eps), batch_size=3)
+
+    np.testing.assert_allclose(r_seq["accuracy"], r_par["accuracy"],
+                               atol=1e-3)
+    np.testing.assert_allclose(r_seq["loss"], r_par["loss"], rtol=1e-4)
