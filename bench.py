@@ -407,6 +407,49 @@ def main():
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["train_accum_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    if arch_name == "ViT-B/16" and os.environ.get("BENCH_RN50", "1") == "1":
+        # also record the reference's other headline backbone in extras so
+        # one bench artifact carries both flagships (RN50 runs unchunked by
+        # design — see README "RN50 flagship"); eval only, quick protocol
+        try:
+            rn = dataclasses.replace(CLIP_ARCHS["RN50"], fast_softmax=True,
+                                     bf16_norms=True)
+            rn_model = CLIPSPMModel(arch=rn, way=way, shot=shot,
+                                    spm=SPM_DEFAULT_PARAMS["hmdb"],
+                                    dtype=jnp.bfloat16)
+            rn_D = rn.embed_dim
+            rn_text = jax.random.normal(jax.random.PRNGKey(1), (16, rn_D),
+                                        jnp.bfloat16)
+            rn_vars = rn_model.init(
+                rng, dummy[0], dummy[1], dummy[2], dummy[3], dummy[4],
+                rn_text, rn_text)
+
+            def rn_eval(v, sup_u8, tgt_u8, sl, rs, rt):
+                sup = episode_device_transform(sup_u8, key, train=False,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                tgt = episode_device_transform(tgt_u8, key, train=False,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                return rn_model.apply(v, sup, tgt, sl, rs, rt, rn_text,
+                                      rn_text, train=False)["logits"]
+
+            rn_E = 16
+            rn_batched = jax.jit(lambda v, b: jax.lax.map(
+                lambda ep: rn_eval(v, *ep), b))
+            rn_staged = [
+                tuple(jax.device_put(jnp.stack(
+                    [episodes[(i + s) % n_staged][j] for i in range(rn_E)]))
+                    for j in range(5))
+                for s in range(2)]
+            _sync(rn_batched(rn_vars, rn_staged[0]))
+            t_rn = _warm_median(rn_batched,
+                                [(rn_vars, st) for st in rn_staged],
+                                inner=2, blocks=2)
+            extras["rn50_batched_eps_per_sec"] = round(rn_E / t_rn, 3)
+        except Exception as e:  # pragma: no cover - depends on chip state
+            extras["rn50_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     if os.path.exists(baseline_path):

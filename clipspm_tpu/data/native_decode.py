@@ -82,6 +82,16 @@ def decode_frames(paths: Sequence[str], height: int, width: int,
         with Image.open(p) as im:
             im = im.convert("RGB")
             if im.size != (width, height):
-                im = im.resize((width, height))
+                # aspect-preserving resize + center crop (the documented
+                # Resize(short-side)+crop geometry, reference
+                # video_reader.py:104) — NOT an anisotropic stretch, which
+                # would silently distort mixed-resolution dumps
+                w0, h0 = im.size
+                scale = max(width / w0, height / h0)
+                im = im.resize((max(width, round(w0 * scale)),
+                                max(height, round(h0 * scale))))
+                w1, h1 = im.size
+                left, top = (w1 - width) // 2, (h1 - height) // 2
+                im = im.crop((left, top, left + width, top + height))
             out[i] = np.asarray(im, dtype=np.uint8)
     return out

@@ -96,6 +96,13 @@ class EpisodeLoader:
                  prefetch: int = 4, use_native: bool = True):
         self.sampler = sampler
         self.catalog = sampler.catalog
+        # only pin a frame geometry when the native batch decoder is
+        # actually loadable — otherwise decode_plan would bypass the thread
+        # pool and fall into the serial per-frame PIL loop
+        if use_native:
+            from .native_decode import get_library
+
+            use_native = get_library() is not None
         self.frame_size = probe_frame_size(self.catalog) if use_native else None
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
@@ -108,8 +115,8 @@ class EpisodeLoader:
     def _producer(self):
         consecutive_failures = 0
         while not self._stop.is_set():
-            plan = self.sampler.sample()
             try:
+                plan = self.sampler.sample()
                 ep = decode_plan(plan, self.catalog, self._pool,
                                  frame_size=self.frame_size,
                                  native_threads=self.num_workers)
@@ -117,23 +124,35 @@ class EpisodeLoader:
             except Exception as exc:  # corrupt/missing frames: skip episode
                 # (the reference hard-exits on any IO problem — SURVEY §5
                 # "failure detection: none"; here a bad episode is dropped
-                # and resampled, with a bounded retry budget)
+                # and resampled, with a bounded retry budget). Sampler
+                # errors (e.g. a class with < shot+queries videos) hit the
+                # same budget and surface quickly instead of hanging.
                 consecutive_failures += 1
                 if consecutive_failures >= 100:
-                    raise RuntimeError(
-                        "episode decoding failed 100 times in a row; "
-                        f"last error: {exc!r}") from exc
-                continue
+                    # surface the failure to the consumer — a raise here
+                    # would kill this daemon thread silently and leave
+                    # __iter__ blocked on the queue forever
+                    ep = RuntimeError(
+                        "episode pipeline failed 100 times in a row; "
+                        f"last error: {exc!r}")
+                    ep.__cause__ = exc
+                else:
+                    continue
             while not self._stop.is_set():
                 try:
                     self._queue.put(ep, timeout=0.5)
                     break
                 except queue.Full:
                     continue
+            if isinstance(ep, Exception):
+                return
 
     def __iter__(self) -> Iterator[Episode]:
         while True:
-            yield self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
     def close(self):
         self._stop.set()

@@ -55,7 +55,17 @@ class TransformSpec:
     def from_config(cls, cfg) -> "TransformSpec":
         dataset = cfg.DATA.DATASET
         img = int(cfg.DATA.IMG_SIZE)
-        return cls(img_size=img, resize_to=256 if img == 224 else 96,
+        # reference wiring: 224->256, 84->96 (video_reader.py:83-111). For
+        # any other size, scale by the same 8/7 ratio — a flat 96 would
+        # make the crop LARGER than the resized image for img in (96, 224)
+        # or img > 224 (negative-range randint under jit = corrupt crops).
+        if img == 224:
+            resize_to = 256
+        elif img == 84:
+            resize_to = 96
+        else:
+            resize_to = max(96, -(-img * 8 // 7))
+        return cls(img_size=img, resize_to=resize_to,
                    flip=dataset not in ("ssv2", "ssv2_cmn"),
                    normalize=bool(cfg.DATA.get("IMG_NORM", False)))
 
@@ -423,6 +433,15 @@ class Learner:
                         {"loss/Test_loss": res["loss"],
                          "acc/Test_acc": res["accuracy"],
                          "acc/Best_acc": best_acc}, episode // val_freq)
+        # The reference never evaluates or saves after its loop (val/save
+        # are skipped at the final iteration, run/main_run.py:225-241), so
+        # VAL_FREQ >= TRAIN_EPISODES would silently discard ALL progress.
+        # Additive safety net: if no validation ever ran, persist the final
+        # state so ONLY_TEST has something to restore.
+        if best_acc == 0.0 and checkpoint_fn and episode > 0:
+            self.log(f"no validation ran (VAL_FREQ={val_freq} vs "
+                     f"{total} episodes) — saving final state as best")
+            checkpoint_fn(episode, 0.0)
         return {"best_accuracy": best_acc, "episodes": episode}
 
 

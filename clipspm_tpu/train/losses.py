@@ -139,8 +139,12 @@ def loss_and_acc(model_name: str, outputs: Dict[str, jnp.ndarray],
             cls_v = float(cfg.MODEL.USE_CLASSIFICATION_VALUE)
             contr = float(cfg.MODEL.USE_CONTRASTIVE_COFF)
             recons = float(cfg.MODEL.RECONS_COFF)
-            # (reference: run/main_run.py:355-361 — note the outer /tpb
-            # applies to CE + classification jointly)
+            # (reference: run/main_run.py:355-361 — the outer /tpb applies
+            # to CE + classification jointly, so the MAIN CE is divided by
+            # tpb TWICE. That is the reference's own behavior — its
+            # line-continuation puts the second /tpb on the parenthesized
+            # sum — replicated verbatim for gradient parity; see
+            # COMPONENTS.md defect 15)
             loss = ((episodic_ce(logits, target_labels) / tpb
                      + cls_v * episodic_ce(outputs["class_logits"], both_real))
                     / tpb

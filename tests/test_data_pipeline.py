@@ -113,3 +113,42 @@ def test_loader_skips_corrupt_episodes(disk_dataset, tmp_path):
     eps = [next(it) for _ in range(5)]
     loader.close()
     assert all(ep.support_images.shape == (6, 4, 32, 32, 3) for ep in eps)
+
+
+def test_loader_surfaces_fatal_pipeline_errors(disk_dataset):
+    """A persistent pipeline failure (e.g. a sampler error from a class
+    with too few videos) must raise at the consumer, not kill the producer
+    thread silently and leave ``next(it)`` blocked forever."""
+    splits, data = disk_dataset
+    cat = load_split(splits, data, "train", "generic", seq_len=4)
+
+    class BrokenSampler(EpisodeSampler):
+        def sample(self):
+            raise ValueError("class has fewer videos than shot+queries")
+
+    sampler = BrokenSampler(cat, way=3, shot=2, queries=1, seq_len=4,
+                            train=False, seed=0)
+    loader = EpisodeLoader(sampler, num_workers=2, prefetch=2)
+    it = iter(loader)
+    with pytest.raises(RuntimeError, match="100 times"):
+        next(it)
+    loader.close()
+
+
+def test_transform_resize_never_smaller_than_crop():
+    """Reference wiring is 224->256 and 84->96; any other IMG_SIZE must
+    still get resize_to >= img_size (a flat 96 made crops LARGER than the
+    resized image for img in (96, 224), i.e. corrupt crops under jit)."""
+    from clipspm_tpu.train.learner import TransformSpec
+    from clipspm_tpu.utils.config import ConfigNode
+
+    def spec(img):
+        return TransformSpec.from_config(ConfigNode(
+            {"DATA": {"DATASET": "hmdb", "IMG_SIZE": img}}))
+
+    assert spec(224).resize_to == 256
+    assert spec(84).resize_to == 96
+    assert spec(32).resize_to == 96   # unchanged for the test-tiny size
+    for img in (96, 128, 200, 256, 336):
+        s = spec(img)
+        assert s.resize_to > img, (img, s.resize_to)
