@@ -46,7 +46,6 @@ class CLIPSPMModel(nn.Module):
     spm: Mapping[str, float]
     single_direct: bool = False
     dtype: Dtype = jnp.float32
-    remat_backbone: bool = False
     # eval-time VMEM-friendly chunked encode (see visual.encode_chunked)
     encode_chunk: int = 0
     # chunk the training encode too (ViT only: no BN/dropout in the tower);
@@ -62,19 +61,6 @@ class CLIPSPMModel(nn.Module):
                             single_direct=self.single_direct,
                             otam_backend=self.otam_backend,
                             dtype=self.dtype, name="head")
-
-    def encode_frames(self, images: jnp.ndarray, *, train: bool = False):
-        """[N, T, H, W, 3] -> [N, T, D]: one batched backbone call
-        (reference: models/model_clipspm.py:146-167 calls it per set)."""
-        N, T = images.shape[:2]
-        frames = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
-        bb = self.backbone
-        if self.remat_backbone:
-            bb = nn.remat(lambda m, x: m(x, train=train))
-            feats = bb(self.backbone, frames)
-        else:
-            feats = bb(frames, train=train)
-        return feats.reshape(N, T, -1)
 
     def __call__(self, support_images, target_images, support_labels,
                  real_support_labels, real_target_labels,

@@ -14,7 +14,6 @@ corners=True)``; class merging is a static segment reduction.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import flax.linen as nn
@@ -22,40 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..backbones.resnet import TorchResNet
-from ..blocks import TransformerV2, class_prototypes, cos_sim
+# PositionalEncoder: the reference's model_molo.py:173-200 PE is the same
+# loop-built sinusoid + x*sqrt(d/A)+B*pe formula as myRes.py:605-632 — one
+# shared implementation, not two copies
+from ..blocks import (PositionalEncoder, TransformerV2, class_prototypes,
+                      cos_sim)
 from ..visual import encode_chunked
 
 Dtype = Any
-
-
-def molo_positional_table(max_len: int, dim: int) -> np.ndarray:
-    """The reference's loop-built sinusoid (reference:
-    models/model_molo.py:173-188): even index i uses ``sin(pos/10000^(2i/d))``
-    (i itself, not i/2), odd i+1 uses ``cos(pos/10000^(2(i+1)/d))``."""
-    pe = np.zeros((max_len, dim))
-    pos = np.arange(max_len, dtype=np.float64)[:, None]
-    i = np.arange(0, dim, 2, dtype=np.float64)[None, :]
-    pe[:, 0::2] = np.sin(pos / np.power(10000.0, 2 * i / dim))
-    n_odd = pe[:, 1::2].shape[1]
-    pe[:, 1::2] = np.cos(pos / np.power(10000.0, 2 * (i[:, :n_odd] + 1) / dim))
-    return pe.astype(np.float32)
-
-
-class MoLoPositionalEncoder(nn.Module):
-    """x * sqrt(d/A) + B * pe, then dropout (reference:
-    models/model_molo.py:191-200)."""
-    dim: int
-    a_scale: float = 10.0
-    b_scale: float = 1.0
-    dropout: float = 0.1
-    max_len: int = 20
-
-    @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        pe = jnp.asarray(molo_positional_table(self.max_len, self.dim))
-        x = x * math.sqrt(self.dim / self.a_scale)
-        x = x + self.b_scale * pe[None, : x.shape[1]].astype(x.dtype)
-        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
 def upsample_bilinear_align_corners(x: jnp.ndarray, scale: int) -> jnp.ndarray:
@@ -131,8 +104,8 @@ class MoLoModel(nn.Module):
                                     dtype=self.dtype, name="backbone")
         d = self.backbone.feature_dim
         self.mid_dim = d
-        self.pe = MoLoPositionalEncoder(dim=d, a_scale=self.position_a,
-                                        b_scale=self.position_b, name="pe")
+        self.pe = PositionalEncoder(dim=d, scale_a=self.position_a,
+                                    scale_b=self.position_b, name="pe")
         self.class_token = self.param(
             "class_token", nn.initializers.normal(1.0), (1, 1, d))
         self.class_token_motion = self.param(

@@ -308,13 +308,20 @@ class TA2NModel(nn.Module):
         # prototype matching: negative timewise cosine
         # (reference: models/model_ta2n.py:52-99)
         if self.metric == "otam":
-            from ...ops.softdtw import softdtw_from_dists, pairwise_cos_dist
+            # NOTE: the reference CONSTRUCTS SoftDTW(gamma=0.1) for
+            # METRIC='otam' (models/model_ta2n.py:87) but its forward never
+            # calls self.metric — the flag is dead there (COMPONENTS.md
+            # defect 16). This branch implements the evidently intended
+            # path with the FULL SoftDTW wrapper semantics (cos distance,
+            # query-axis zero-padding, forward/reverse averaging —
+            # models/OTAM.py:390-423), via the faithful ops.softdtw helper.
+            from ...ops.softdtw import softdtw
 
             way, Qn = su_al.shape[:2]
-            dtab = pairwise_cos_dist(
+            dist = softdtw(
                 qu_al.reshape(way * Qn, T, D).astype(jnp.float32),
-                su_al.reshape(way * Qn, T, D).astype(jnp.float32))
-            dist = softdtw_from_dists(dtab, gamma=0.1).reshape(way, Qn)
+                su_al.reshape(way * Qn, T, D).astype(jnp.float32),
+                gamma=0.1).reshape(way, Qn)
         else:
             sn = su_al / jnp.maximum(
                 jnp.linalg.norm(su_al.astype(jnp.float32), axis=-1,

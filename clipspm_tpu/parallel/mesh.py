@@ -32,6 +32,10 @@ def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_dp is None:
         n_dp = len(devices) // n_tp
+    if n_dp < 1 or n_dp * n_tp > len(devices):
+        raise ValueError(
+            f"mesh dp={n_dp} x tp={n_tp} needs {max(n_dp, 1) * n_tp} "
+            f"devices, have {len(devices)}")
     devs = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
     return Mesh(devs, (EPISODE_AXIS, TENSOR_AXIS))
 
