@@ -1,14 +1,15 @@
-"""Profile the production batched-eval step and print an op-family breakdown.
+"""Profile the production batched-eval (or train) step: op-family breakdown.
 
-Captures a ``jax.profiler`` trace of ONE warm `lax.map` batched-eval
-dispatch (E episodes, chunked encode — the exact production evaluator
-configuration) on the default device, then parses the trace and aggregates
-device-op durations by HLO fusion family. This is the measurement behind
-the README "Benchmarks" breakdown (55% attention-score/softmax fusions,
-21% projection/MLP matmuls, ...) and complements the train-step trace hook
-(``CLIPSPM_PROFILE_DIR``, utils/metrics.py:profile_trace).
+Captures a ``jax.profiler`` trace of ONE warm dispatch on the default
+device — the `lax.map` batched eval (E episodes, chunked encode) or, with
+``--train``, the single-episode gradient step (remat-chunked encode) —
+then parses the trace and aggregates device-op durations by HLO fusion
+family. This is the measurement behind the README "Benchmarks" breakdowns
+and complements the trainer's own trace hook (``CLIPSPM_PROFILE_DIR``,
+utils/metrics.py:profile_trace).
 
-Usage: ``timeout 900 python scripts/profile_eval.py [E]`` (default E=16).
+Usage: ``timeout 900 python scripts/profile_eval.py [--train] [E]``
+(default E=16 for eval; E is ignored for --train).
 """
 
 import collections
@@ -23,7 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(E: int, out_dir: str) -> float:
+def capture(E: int, out_dir: str, train: bool = False) -> float:
     import dataclasses
 
     import jax
@@ -40,7 +41,7 @@ def capture(E: int, out_dir: str) -> float:
                                bf16_norms=True)
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
-                         encode_chunk=30)
+                         encode_chunk=30, train_encode_chunk=40)
     S, Q, D = way * shot, way * queries, arch.embed_dim
     text = jax.random.normal(jax.random.PRNGKey(1), (16, D), jnp.bfloat16)
     key = jax.random.PRNGKey(2)
@@ -71,6 +72,32 @@ def capture(E: int, out_dir: str) -> float:
         eps.append(tuple(jax.device_put(x) for x in (
             ep.support_images, ep.target_images, ep.support_labels,
             ep.real_support_labels, ep.real_target_labels)))
+    if train:
+        from clipspm_tpu.train.losses import loss_and_acc
+
+        @jax.jit
+        def train_grad(v, sup_u8, tgt_u8, sl, rs, rt):
+            def loss_fn(params):
+                sup = episode_device_transform(sup_u8, key, train=True,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                tgt = episode_device_transform(tgt_u8, key, train=True,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                out = model.apply({"params": params}, sup, tgt, sl, rs, rt,
+                                  text, text, train=True,
+                                  rngs={"dropout": key})
+                loss, _ = loss_and_acc("clipspm", out, sl[:Q] * 0, rs, rt,
+                                       16, train=True)
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+            return loss + sum(jnp.sum(g) * 0 for g in jax.tree.leaves(grads))
+
+        float(train_grad(variables, *eps[0]))        # compile + warm
+        with jax.profiler.trace(out_dir):
+            float(train_grad(variables, *eps[1]))    # the traced step
+        return 1
+
     staged = [tuple(jax.device_put(jnp.stack(
         [eps[(i + s) % 2][j] for i in range(E)])) for j in range(5))
         for s in range(2)]
@@ -101,6 +128,8 @@ def report(out_dir: str, E: int) -> None:
             if skip.match(n):
                 continue
             g = re.sub(r"[.\d]+$", "", n)
+            if not g:        # numeric-only names are program containers
+                continue
             groups[g] += e["dur"]
             counts[g] += 1
     tot = sum(groups.values())
@@ -111,9 +140,12 @@ def report(out_dir: str, E: int) -> None:
 
 
 def main():
-    E = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    out = os.environ.get("CLIPSPM_PROFILE_DIR", "/tmp/eval_profile")
-    capture(E, out)
+    argv = [a for a in sys.argv[1:] if a != "--train"]
+    train = "--train" in sys.argv[1:]
+    E = int(argv[0]) if argv else 16
+    out = os.environ.get("CLIPSPM_PROFILE_DIR",
+                         "/tmp/train_profile" if train else "/tmp/eval_profile")
+    E = capture(E, out, train=train)
     report(out, E)
 
 
