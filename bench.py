@@ -29,7 +29,8 @@ remote compile cache); ``BENCH_CHUNK`` overrides the eval encode chunk width
 (default 40 for ViT); ``BENCH_E`` the eval batch (default 32; measured
 asymptote — 17.34/17.43/17.48 eps/s at E=32/48/64); ``BENCH_TRAIN_ACCUM``
 the accumulated-step episode count (default 16); ``BENCH_ARCH`` the CLIP
-backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower).
+backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower);
+``BENCH_INT8=0`` / ``BENCH_RN50=0`` skip those extra eval stages.
 """
 
 import json
@@ -406,6 +407,43 @@ def main():
             extras["train_accum_compile_s"] = round(acc_compile_s, 1)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["train_accum_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if is_vit and os.environ.get("BENCH_INT8", "1") == "1":
+        # dynamic-int8 projection/MLP matmuls (MODEL.INT8_EVAL, opt-in in
+        # production — accuracy on real checkpoints unvalidated here, see
+        # README "Known limitations"): measured +19% E2E with 100% argmax
+        # agreement vs bf16 on random weights. Same params drive both.
+        try:
+            q_model = CLIPSPMModel(
+                arch=dataclasses.replace(arch, int8_eval=True),
+                way=way, shot=shot, spm=SPM_DEFAULT_PARAMS["hmdb"],
+                dtype=jnp.bfloat16, encode_chunk=chunk)
+
+            def q_eval(v, sup_u8, tgt_u8, sl, rs, rt):
+                sup = episode_device_transform(sup_u8, key, train=False,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                tgt = episode_device_transform(tgt_u8, key, train=False,
+                                               img_size=img, resize_to=256,
+                                               dtype=jnp.bfloat16)
+                return q_model.apply(v, sup, tgt, sl, rs, rt, text, text,
+                                     train=False)["logits"]
+
+            q_E = 16
+            q_batched = jax.jit(lambda v, b: jax.lax.map(
+                lambda ep: q_eval(v, *ep), b))
+            q_staged = [
+                tuple(jax.device_put(jnp.stack(
+                    [episodes[(i + s) % n_staged][j] for i in range(q_E)]))
+                    for j in range(5))
+                for s in range(2)]
+            _sync(q_batched(variables, q_staged[0]))
+            t_q = _warm_median(q_batched,
+                               [(variables, st) for st in q_staged],
+                               inner=2, blocks=2)
+            extras["int8_batched_eps_per_sec"] = round(q_E / t_q, 3)
+        except Exception as e:  # pragma: no cover - depends on chip state
+            extras["int8_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if arch_name == "ViT-B/16" and os.environ.get("BENCH_RN50", "1") == "1":
         # also record the reference's other headline backbone in extras so

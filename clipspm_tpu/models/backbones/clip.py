@@ -57,6 +57,12 @@ class CLIPArch:
     # bf16 — see FP32LayerNorm; +5% E2E ViT eval, ~15% RN50 tower); default
     # off for strict fp32-norm parity
     bf16_norms: bool = False
+    # dynamic-int8 projection/MLP matmuls at EVAL only (ops/quant.py; the
+    # v5e MXU runs int8 ~1.7x its bf16 rate). Default off: accuracy on real
+    # checkpoints is unvalidated in this environment — see README "Known
+    # limitations". Training always keeps the float path (zero-gradient
+    # rounding), and the param tree is unchanged either way.
+    int8_eval: bool = False
 
     @property
     def is_vit(self) -> bool:
@@ -283,12 +289,20 @@ class ResidualAttentionBlock(nn.Module):
     causal: bool = False
     fast_softmax: bool = False
     fp32_norms: bool = True
+    # int8 projection/MLP matmuls (dynamic quant, ops/quant.py) — EVAL
+    # ONLY: round() has zero gradient, so the caller passes int8=False
+    # whenever the result is differentiated. Same param tree either way.
+    int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.int8:
+            from ...ops.quant import Int8Dense as Dense
+        else:
+            Dense = nn.Dense
         h = FP32LayerNorm(self.fp32_norms, name="ln_1")(x)
-        qkv = nn.Dense(3 * self.d_model, dtype=self.dtype, name="in_proj")(h)
+        qkv = Dense(3 * self.d_model, dtype=self.dtype, name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = self.d_model // self.n_head
 
@@ -312,13 +326,13 @@ class ResidualAttentionBlock(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
                                                 self.d_model)
-        out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        out = Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
         x = x + out
 
         h = FP32LayerNorm(self.fp32_norms, name="ln_2")(x)
-        h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
+        h = Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
+        h = Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
         return x + h
 
 
@@ -330,15 +344,18 @@ class TransformerStack(nn.Module):
     causal: bool = False
     fast_softmax: bool = False
     fp32_norms: bool = True
+    int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, int8: bool | None = None):
+        use_int8 = self.int8 if int8 is None else int8
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        causal=self.causal,
                                        fast_softmax=self.fast_softmax,
                                        fp32_norms=self.fp32_norms,
+                                       int8=use_int8,
                                        dtype=self.dtype,
                                        name=f"resblock_{i}")(x)
         return x
@@ -355,6 +372,9 @@ class VisionTransformer(nn.Module):
     output_dim: int
     fast_softmax: bool = False
     fp32_norms: bool = True
+    # dynamic-int8 projection/MLP matmuls at EVAL (train keeps bf16/fp32 —
+    # quantization has zero gradient); see ops/quant.py + CLIPArch.int8_eval
+    int8_eval: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -379,7 +399,8 @@ class VisionTransformer(nn.Module):
         x = TransformerStack(self.width, self.layers, self.heads,
                              fast_softmax=self.fast_softmax,
                              fp32_norms=self.fp32_norms,
-                             dtype=self.dtype, name="transformer")(x)
+                             dtype=self.dtype, name="transformer")(
+            x, int8=self.int8_eval and not train)
         x = FP32LayerNorm(self.fp32_norms, name="ln_post")(x[:, 0])
         proj = self.param("proj",
                           lambda key, shape: scale * jax.random.normal(key, shape),

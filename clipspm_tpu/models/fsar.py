@@ -102,6 +102,13 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
             arch = dataclasses.replace(arch, fast_softmax=True)
         if cfg.MODEL.get("BF16_NORMS", False):
             arch = dataclasses.replace(arch, bf16_norms=True)
+        if cfg.MODEL.get("INT8_EVAL", False):
+            if not arch.is_vit:
+                raise ValueError(
+                    "MODEL.INT8_EVAL currently covers the ViT tower's "
+                    "projection/MLP matmuls only (the RN50 conv tower has "
+                    "no int8 path)")
+            arch = dataclasses.replace(arch, int8_eval=True)
         return arch
 
     way, shot = int(cfg.TRAIN.WAY), int(cfg.TRAIN.SHOT)

@@ -80,6 +80,7 @@ def make_clip_visual(arch: CLIPArch, dtype=jnp.float32,
             layers=arch.vision_layers, heads=arch.vision_heads,
             output_dim=arch.embed_dim, fast_softmax=arch.fast_softmax,
             fp32_norms=not arch.bf16_norms,
+            int8_eval=arch.int8_eval,
             dtype=dtype, name=name)
     return ModifiedResNet(
         layers=arch.vision_layers, output_dim=arch.embed_dim,
