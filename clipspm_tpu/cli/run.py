@@ -39,9 +39,12 @@ def main(argv=None):
     from clipspm_tpu.train.setup import build_learner
     from clipspm_tpu.train.checkpoint import CheckpointManager
 
+    # pass opts through unfiltered: apply_opts raises on malformed tokens
+    # (e.g. "TRAIN.WAY 5" without "=", or a --flag swallowed into the
+    # REMAINDER by being placed after the first override) — silently
+    # dropping them would run a wrong experiment config
     cfg = load_config(args.cfg_file, base_path=args.base_file,
-                      opts=[o for o in args.opts if "=" in o],
-                      splits_root=args.splits_root)
+                      opts=args.opts, splits_root=args.splits_root)
 
     ckpt_dir = cfg.CHECKPOINT.CHECKPOINT_DIR
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -73,6 +76,12 @@ def main(argv=None):
         log("Conduct Testing:")
         if manager.exists("best"):
             learner.state = manager.restore("best", learner.state)["state"]
+        else:
+            # loud, not silent: an accuracy line from an untrained head is
+            # indistinguishable from a real repro otherwise (CLIP heads
+            # produce plausible-looking training-free numbers)
+            log(f"WARNING: no 'best' checkpoint under {ckpt_dir} — "
+                "evaluating the FRESH (untrained) model")
         res = learner.evaluate(int(cfg.TEST.TEST_EPISODES),
                                batch_size=eval_batch)
         log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "

@@ -223,8 +223,7 @@ def load_config(
 ) -> ConfigNode:
     """Load base.yaml + override yaml + CLI opts into a resolved ConfigNode."""
     if base_path is None:
-        base_path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "configs", "base.yaml")
+        base_path = os.path.join(_repo_root(), "configs", "base.yaml")
     base = load_yaml(base_path)
     override = load_yaml(cfg_path)
     merged = merge_into_base(base, override)

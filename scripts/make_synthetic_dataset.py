@@ -102,7 +102,8 @@ def main():
     p.add_argument("--size", type=int, default=48)
     p.add_argument("--img-size", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=4)
-    p.add_argument("--dataset", default="hmdb")
+    p.add_argument("--dataset", default="hmdb",
+                   choices=["hmdb", "ucf", "kinetics"])
     args = p.parse_args()
     cfg = make_dataset(args.root, classes=args.classes, videos=args.videos,
                        frames=args.frames, size=args.size,

@@ -133,6 +133,11 @@ def report(out_dir: str, E: int) -> None:
             groups[g] += e["dur"]
             counts[g] += 1
     tot = sum(groups.values())
+    if not tot:
+        raise SystemExit(
+            "no TPU device ops in the trace — the program ran on a "
+            "non-TPU backend (check jax.devices()); refusing to print a "
+            "meaningless 0 ms profile")
     print(f"device leaf-op total: {tot / 1e3:.1f} ms for E={E} "
           f"({tot / 1e3 / E:.2f} ms/episode)")
     for g, d in groups.most_common(12):

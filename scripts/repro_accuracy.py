@@ -84,12 +84,17 @@ def check_assets(backbone: str, data_root: str, dataset: str):
             f"missing CLIP weights for {backbone} — set CLIP_WEIGHTS_DIR")
     if not get_tokenizer().using_openai_vocab:
         problems.append("BPE vocab asset missing (unexpected: it is bundled)")
-    frame_dir = os.path.join(data_root, {
-        "hmdb": "hmdb_256x256q5_l8", "ucf": "ucf_256x256q5_l8",
-        "kinetics": "k100_256x256q5_l8", "ssv2": "ssv2_256x256q5_l8",
-        "ssv2_cmn": "ssv2_256x256q5_l8"}[dataset])
+    # resolve the same dirs the runtime will use (utils/config.py
+    # DATASET_PATHS) so the check cannot pass while the run fails
+    from clipspm_tpu.utils.config import DATASET_PATHS
+
+    split_rel, frame_rel = DATASET_PATHS[dataset]
+    frame_dir = os.path.join(data_root, frame_rel)
     if not os.path.isdir(frame_dir):
         problems.append(f"missing frame dir {frame_dir}")
+    test_list = os.path.join(data_root, split_rel, "testlist03.txt")
+    if not os.path.isfile(test_list):
+        problems.append(f"missing split list {test_list}")
     return problems
 
 
@@ -138,6 +143,7 @@ def main(argv=None):
     from clipspm_tpu.cli.run import main as run_main
     opts = [
         "--cfg", os.path.join(REPO, DATASET_CFG[args.dataset]),
+        "--splits-root", args.data_root,
         f"MODEL.BACKBONE={args.backbone}",
         f"TRAIN.SHOT={args.shot}",
         "TEST.ONLY_TEST=true",

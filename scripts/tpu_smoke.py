@@ -110,8 +110,7 @@ def smoke_one(name: str, way=5, shot=5, queries=1, T=8, img=224,
     if not train:
         return out
 
-    tgt_labels = args[2][: way * queries] * 0 + jnp.arange(
-        way * queries, dtype=jnp.int32) % way
+    tgt_labels = jnp.arange(way * queries, dtype=jnp.int32) % way
 
     @jax.jit
     def grad_step(variables, *a):
