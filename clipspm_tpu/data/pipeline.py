@@ -108,6 +108,7 @@ class EpisodeLoader:
         self.prefetch = max(1, prefetch)
         self._queue: "queue.Queue[Episode]" = queue.Queue(self.prefetch)
         self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
+        self._error: Optional[Exception] = None   # terminal producer failure
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
@@ -136,6 +137,11 @@ class EpisodeLoader:
                         "episode pipeline failed 100 times in a row; "
                         f"last error: {exc!r}")
                     ep.__cause__ = exc
+                    # terminal state must outlive the single queue item:
+                    # any later/second consumer re-raises instead of
+                    # blocking forever on an empty queue with a dead
+                    # producer
+                    self._error = ep
                 else:
                     continue
             while not self._stop.is_set():
@@ -149,7 +155,14 @@ class EpisodeLoader:
 
     def __iter__(self) -> Iterator[Episode]:
         while True:
-            item = self._queue.get()
+            try:
+                item = self._queue.get(timeout=0.5)
+            except queue.Empty:
+                if self._error is not None:
+                    raise self._error
+                if self._stop.is_set():
+                    return   # closed loader ends iteration
+                continue
             if isinstance(item, Exception):
                 raise item
             yield item

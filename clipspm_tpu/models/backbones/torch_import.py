@@ -8,11 +8,67 @@ only required here, never on the training/serving path.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+import hashlib
+import os
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 from .clip import CLIPArch
+
+# SHA256 digests of the official OpenAI CLIP releases, from the
+# SHA-addressed download URLs the reference pins (reference:
+# models/clip_fsar.py:827-837). Keyed by release filename.
+CLIP_CHECKPOINT_SHA256 = {
+    "RN50.pt":
+        "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762",
+    "RN101.pt":
+        "8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599",
+    "RN50x4.pt":
+        "7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd",
+    "RN50x16.pt":
+        "52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa",
+    "RN50x64.pt":
+        "be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c",
+    "ViT-B-32.pt":
+        "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af",
+    "ViT-B-16.pt":
+        "5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f",
+    "ViT-L-14.pt":
+        "b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836",
+    "ViT-L-14-336px.pt":
+        "3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02",
+}
+
+
+def verify_checkpoint_sha256(
+        path: str,
+        registry: Optional[Dict[str, str]] = None) -> Optional[bool]:
+    """Check ``path`` against the official release digest for its filename.
+
+    Returns True on a match, None when the filename is not a known release
+    (custom/finetuned checkpoints are not hash-pinned), and raises on a
+    mismatch — a truncated download or a wrong file silently produces
+    garbage accuracy, which is the failure mode the reference's
+    SHA-addressed URLs prevent (reference: models/clip_fsar.py:855-858).
+    """
+    registry = CLIP_CHECKPOINT_SHA256 if registry is None else registry
+    expected = registry.get(os.path.basename(path))
+    if expected is None:
+        return None
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    got = h.hexdigest()
+    if got != expected:
+        raise RuntimeError(
+            f"checkpoint integrity failure: {path} has SHA256 {got[:16]}..., "
+            f"expected {expected[:16]}... for the official "
+            f"{os.path.basename(path)} release — the file is corrupt or not "
+            "the OpenAI release. Re-download it, or rename the file / pass "
+            "verify=False if a custom checkpoint is intended.")
+    return True
 
 
 def _t(x) -> np.ndarray:
@@ -167,10 +223,16 @@ def convert_clip_state_dict(
     return arch, variables
 
 
-def load_clip_checkpoint(path: str) -> Tuple[CLIPArch, Dict[str, Any]]:
-    """Load an OpenAI CLIP ``.pt`` (state dict or TorchScript archive)."""
+def load_clip_checkpoint(path: str,
+                         verify: bool = True) -> Tuple[CLIPArch, Dict[str, Any]]:
+    """Load an OpenAI CLIP ``.pt`` (state dict or TorchScript archive).
+
+    ``verify=True`` (default) hash-checks files named like an official
+    release against CLIP_CHECKPOINT_SHA256 before deserialising."""
     import torch
 
+    if verify:
+        verify_checkpoint_sha256(path)
     try:
         model = torch.jit.load(path, map_location="cpu").eval()
         sd = model.state_dict()

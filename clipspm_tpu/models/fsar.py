@@ -140,6 +140,13 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
     tec_cfg = cfg.MODEL.get("TRAIN_ENCODE_CHUNK", None)
     train_chunk = (40 if is_full_vit else 0) if tec_cfg is None else int(
         tec_cfg or 0)
+    if train_chunk == 1 and not chunk:
+        # TRAIN_ENCODE_CHUNK: true means "reuse the eval width" — but with
+        # ENCODE_CHUNK: 0 there is no eval width to reuse, and silently
+        # disabling train chunking would re-expose the 44.9 G unchunked
+        # backward the user explicitly opted out of. Fall back to the
+        # measured 40-frame train default instead.
+        train_chunk = 40
     if train_chunk and not (backbone in CLIP_ARCHS
                             and CLIP_ARCHS[backbone].is_vit):
         raise ValueError(

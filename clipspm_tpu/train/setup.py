@@ -50,7 +50,11 @@ def build_clip_variables(backbone: str, rng: jax.Array,
     if ckpt is not None:
         from ..models.backbones.torch_import import load_clip_checkpoint
 
-        arch, variables = load_clip_checkpoint(ckpt)
+        # CLIPSPM_SKIP_WEIGHT_VERIFY=1 opts out of the SHA256 integrity
+        # gate for deliberately-customised files kept under a release name
+        arch, variables = load_clip_checkpoint(
+            ckpt,
+            verify=os.environ.get("CLIPSPM_SKIP_WEIGHT_VERIFY", "0") != "1")
         model = CLIPModel(arch=arch, dtype=dtype)
         return model, variables, True
     from ..models.backbones.clip import init_clip_params

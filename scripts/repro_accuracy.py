@@ -12,11 +12,13 @@ Usage:
 
 Prerequisites (the asset checklist):
     1. CLIP weights: $CLIP_WEIGHTS_DIR (or ~/.cache/clip) containing
-         RN50.pt        (OpenAI release, SHA256 prefix 5d39cdab...)
+         RN50.pt        (OpenAI release, SHA256 prefix afeb0e10...)
          ViT-B-16.pt    (OpenAI release, SHA256 prefix 5806e77c...)
        — the same files the reference downloads by SHA-addressed URL
        (reference: models/clip_fsar.py:827-837). This environment has no
-       network; place them manually.
+       network; place them manually. Files named like an official release
+       are SHA256-verified at load against
+       torch_import.CLIP_CHECKPOINT_SHA256 (corrupt/wrong files fail loudly).
     2. Dataset root (--data-root or $CLIPSPM_DATA_ROOT): pre-extracted
        frame dirs `<root>/<ds>_256x256q5_l8/{train,test}/<class>/<vid>/*.jpg`
        (reference: run/main_run.py:161-175) plus the split lists under

@@ -56,6 +56,16 @@ def test_explicit_override_wins():
     assert m.encode_chunk == 30
 
 
+def test_train_chunk_true_with_eval_chunk_off_falls_back_to_default():
+    # TRAIN_ENCODE_CHUNK: true = "reuse the eval width", but ENCODE_CHUNK: 0
+    # leaves nothing to reuse — the explicit train-chunk opt-in must not be
+    # silently dropped (the unchunked ViT-B/16 backward OOMs a 16 G chip),
+    # so it falls back to the measured 40-frame train default
+    m = build_model(_cfg("ViT-B/16", ENCODE_CHUNK=0, TRAIN_ENCODE_CHUNK=True))
+    assert m.encode_chunk == 0
+    assert m.train_encode_chunk == 40
+
+
 def test_train_chunk_rejected_for_batchnorm_backbones():
     with pytest.raises(ValueError, match="BatchNorm"):
         build_model(_cfg("RN50", TRAIN_ENCODE_CHUNK=True))

@@ -132,6 +132,11 @@ def test_loader_surfaces_fatal_pipeline_errors(disk_dataset):
     it = iter(loader)
     with pytest.raises(RuntimeError, match="100 times"):
         next(it)
+    # the terminal error is sticky, not one-shot: a later consumption (or a
+    # second consumer) must re-raise instead of blocking forever on the
+    # empty queue with a dead producer
+    with pytest.raises(RuntimeError, match="100 times"):
+        next(iter(loader))
     loader.close()
 
 

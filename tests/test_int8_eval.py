@@ -53,8 +53,9 @@ def test_int8_eval_agrees_and_train_is_identical():
     m_f, m_q = _model(False), _model(True)
     v = m_f.init(jax.random.PRNGKey(0), *args)
     # (a) identical param tree: the float init drives the int8 model
-    jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
-        jax.eval_shape(lambda: m_q.init(jax.random.PRNGKey(0), *args)))
+    v_q = jax.eval_shape(lambda: m_q.init(jax.random.PRNGKey(0), *args))
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_q))
 
     # (b) eval forward agrees (same argmax, close logits)
     lf = np.asarray(m_f.apply(v, *args, train=False)["logits"], np.float32)

@@ -266,9 +266,12 @@ def test_eval_batch_rounds_up_to_dp_multiple():
     devices = jax.devices("cpu")
     if len(devices) < 2:
         pytest.skip("needs >=2 virtual devices")
+    # distinct seeds => distinct episodes, so an untrimmed padded episode
+    # (the 4th slot when 3 rounds up to dp=2's multiple) would shift the
+    # mean and fail the parity assertion below
     eps = [SyntheticEpisodeSource(way=WAY, shot=SHOT, queries=QUERIES,
                                   seq_len=T, img_size=IMG + 8, num_classes=8,
-                                  seed=17).sample() for _ in range(3)]
+                                  seed=17 + i).sample() for i in range(3)]
 
     seq = _build(_cfg(2))
     r_seq = seq.evaluate(3, source=iter(eps), batch_size=1)

@@ -72,7 +72,13 @@ def test_checkpoint_file_roundtrip(tmp_path, monkeypatch):
     assert find_clip_checkpoint("RN50") == str(path)
     assert find_clip_checkpoint("ViT-B/16") is None
 
-    arch, variables = load_clip_checkpoint(str(path))
+    # a file named like an official release but with the wrong bytes must
+    # fail the SHA256 integrity gate (reference pins releases by
+    # SHA-addressed URL, models/clip_fsar.py:827-837)...
+    with pytest.raises(RuntimeError, match="SHA256"):
+        load_clip_checkpoint(str(path))
+    # ...with an explicit escape hatch for custom checkpoints
+    arch, variables = load_clip_checkpoint(str(path), verify=False)
     assert arch.is_vit and arch.embed_dim == 32 and arch.vocab_size == 128
     # converted weights drive the model end to end
     import dataclasses
@@ -150,3 +156,27 @@ def test_full_openai_arch_registry_builds():
 
         li, lt = jax.eval_shape(fwd)
         assert li.shape == (1, 1) and lt.shape == (1, 1)
+
+
+def test_sha256_verifier_matrix(tmp_path):
+    """Match -> True; unknown filename -> None (custom ckpts not pinned);
+    mismatch -> loud RuntimeError before any deserialisation."""
+    import hashlib
+
+    from clipspm_tpu.models.backbones.torch_import import (
+        CLIP_CHECKPOINT_SHA256, verify_checkpoint_sha256)
+
+    # registry carries all nine official releases the reference pins
+    assert len(CLIP_CHECKPOINT_SHA256) == 9
+    assert all(len(d) == 64 for d in CLIP_CHECKPOINT_SHA256.values())
+
+    p = tmp_path / "ViT-B-16.pt"
+    p.write_bytes(b"definitely not a clip checkpoint")
+    good = hashlib.sha256(p.read_bytes()).hexdigest()
+
+    assert verify_checkpoint_sha256(
+        str(p), registry={"ViT-B-16.pt": good}) is True
+    assert verify_checkpoint_sha256(
+        str(tmp_path / "my_finetune.pt"), registry={}) is None
+    with pytest.raises(RuntimeError, match="SHA256"):
+        verify_checkpoint_sha256(str(p))   # real registry: mismatch
