@@ -22,6 +22,19 @@ checkpoint download at init; reference: models/model_clipspm.py:19,26). The
 baseline is this repo's first recorded measurement (bench_baseline.json,
 8.59 eps/s single-episode eval, round 1) so later rounds report progress.
 
+Output protocol (robust to an external timeout): the primary JSON line is
+printed IMMEDIATELY after the batched-eval measurement — the first and most
+important compile — and re-printed with merged extras after every later
+stage completes. A consumer that takes either the first or the last JSON
+line of the tail gets a valid record; a kill mid-stage loses only the
+not-yet-finished stages. Every stage after the primary is guarded by a
+wall-clock deadline (``BENCH_DEADLINE_S``, default 1200 s): if the elapsed
+time plus a conservative estimate of the stage's cold-compile cost would
+cross the deadline, the stage is skipped and noted in extras. With a warm
+persistent compile cache (``JAX_COMPILATION_CACHE_DIR``, default
+/tmp/jax_cache — verified to survive process boundaries on the tunneled
+backend) the full default run takes a few minutes.
+
 Flags: ``--quick`` (fewer iters). Env: ``BENCH_TRAIN=0`` skips the
 train-step measurements (their backward compiles take minutes on a cold
 remote compile cache); ``BENCH_CHUNK`` overrides the eval encode chunk width
@@ -30,7 +43,8 @@ remote compile cache); ``BENCH_CHUNK`` overrides the eval encode chunk width
 asymptote — 17.34/17.43/17.48 eps/s at E=32/48/64); ``BENCH_TRAIN_ACCUM``
 the accumulated-step episode count (default 16); ``BENCH_ARCH`` the CLIP
 backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower);
-``BENCH_INT8=0`` / ``BENCH_RN50=0`` skip those extra eval stages.
+``BENCH_SINGLE=0`` / ``BENCH_INT8=0`` / ``BENCH_RN50=0`` skip those extra
+eval stages; ``BENCH_DEADLINE_S`` the wall-clock budget (0 = no deadline).
 """
 
 import json
@@ -280,6 +294,14 @@ def main():
     if "--e2e" in sys.argv:
         return bench_e2e(quick)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    t_start = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
+
+    def time_left():
+        if deadline <= 0:
+            return float("inf")
+        return deadline - (time.perf_counter() - t_start)
+
     import jax
     import jax.numpy as jnp
     from clipspm_tpu.data import SyntheticEpisodeSource
@@ -351,17 +373,10 @@ def main():
             ep.real_support_labels, ep.real_target_labels)))
 
     key = jax.random.PRNGKey(2)
-    _sync(eval_episode(variables, *episodes[0], key))   # warmup/compile
-
-    # -- single-episode latency path (sync per call) -------------------------
-    n_iters = 6 if quick else 15
-    t_ep = _warm_median(eval_episode,
-                        [(variables,) + episodes[i % n_staged] + (key,)
-                         for i in range(n_staged)], inner=n_iters, blocks=2)
-    single_eps_per_sec = 1.0 / t_ep
-    p50_ms = t_ep * 1e3
 
     # -- production batched eval (lax.map over E episodes, one dispatch) -----
+    # FIRST measurement and FIRST compile: the primary metric must hit stdout
+    # before any slower optional stage can eat the external time budget.
     def _eval_one(variables, ep):
         return eval_episode(variables, *ep, key)
 
@@ -380,35 +395,97 @@ def main():
 
     frames_per_sec = batched_eps_per_sec * (S + Q) * T
     extras = {
-        "single_episode_eps_per_sec": round(single_eps_per_sec, 3),
-        "p50_episode_latency_ms": round(p50_ms, 2),
         "frames_per_sec": round(frames_per_sec, 1),
         "eval_batch_E": E,
         "encode_chunk": chunk,
         "device": str(jax.devices()[0]),
     }
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = batched_eps_per_sec
+        with open(baseline_path, "w") as f:
+            json.dump({"metric": "episodes/sec/chip", "value": baseline,
+                       "recorded": time.strftime("%Y-%m-%d"),
+                       "note": "first measured value; reference publishes "
+                               "no throughput numbers"}, f)
+
+    result = {
+        "metric": f"episodes/sec/chip (5w5s 8f {arch_name} eval, batched "
+                  f"E={E})",
+        "value": round(batched_eps_per_sec, 3),
+        "unit": "episodes/s",
+        # the baseline pin is the round-1 ViT-B/16 number; a non-default
+        # arch is not comparable to it
+        "vs_baseline": (round(batched_eps_per_sec / baseline, 3)
+                        if arch_name == "ViT-B/16" else None),
+        "extras": extras,
+    }
+
+    def emit():
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    emit()   # primary metric is now on record whatever happens below
+
+    def stage_fits(name, est_cold_s):
+        """Skip a stage that could blow the wall-clock budget. est_cold_s is
+        a conservative cold-compile estimate; with a warm persistent cache
+        the stage costs a fraction of that, so when >60% of the budget is
+        still unspent we let the stage try regardless."""
+        left = time_left()
+        if left > est_cold_s or left > 0.6 * deadline:
+            return True
+        extras[f"{name}_skipped"] = f"deadline ({left:.0f}s left)"
+        return False
+
+    # -- single-episode latency path (sync per call) -------------------------
+    n_iters = 6 if quick else 15
+    if os.environ.get("BENCH_SINGLE", "1") == "1" and stage_fits(
+            "single_episode", 240):
+        _sync(eval_episode(variables, *episodes[0], key))   # compile
+        t_ep = _warm_median(eval_episode,
+                            [(variables,) + episodes[i % n_staged] + (key,)
+                             for i in range(n_staged)],
+                            inner=n_iters, blocks=2)
+        extras["single_episode_eps_per_sec"] = round(1.0 / t_ep, 3)
+        extras["p50_episode_latency_ms"] = round(t_ep * 1e3, 2)
+        emit()
+
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         # never lose the eval numbers to a train-step failure (the shared
         # TPU occasionally throws transient RESOURCE_EXHAUSTED on the large
-        # backward compile)
-        try:
-            train_eps, compile_s = _bench_train(
-                jax, jnp, model, variables, episodes, n_staged, text, img, Q,
-                key, n_iters)
-            extras["train_eps_per_sec"] = round(train_eps, 3)
-            extras["train_step_compile_s"] = round(compile_s, 1)
-        except Exception as e:  # pragma: no cover - depends on chip state
-            extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            acc_eps, acc_compile_s, acc_E = _bench_train_accum(
-                jax, jnp, model, variables, episodes, n_staged, text, quick)
-            extras["train_accum_eps_per_sec"] = round(acc_eps, 3)
-            extras["train_accum_E"] = acc_E
-            extras["train_accum_compile_s"] = round(acc_compile_s, 1)
-        except Exception as e:  # pragma: no cover - depends on chip state
-            extras["train_accum_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        # backward compile). The accumulated step runs FIRST — it is the
+        # production train path and the number the record must carry.
+        if stage_fits("train_accum", 420):
+            try:
+                acc_eps, acc_compile_s, acc_E = _bench_train_accum(
+                    jax, jnp, model, variables, episodes, n_staged, text,
+                    quick)
+                extras["train_accum_eps_per_sec"] = round(acc_eps, 3)
+                extras["train_accum_E"] = acc_E
+                extras["train_accum_compile_s"] = round(acc_compile_s, 1)
+            except Exception as e:  # pragma: no cover - chip state
+                extras["train_accum_bench_error"] = (
+                    f"{type(e).__name__}: {e}"[:200])
+            emit()
+        if stage_fits("train_single", 360):
+            try:
+                train_eps, compile_s = _bench_train(
+                    jax, jnp, model, variables, episodes, n_staged, text,
+                    img, Q, key, n_iters)
+                extras["train_eps_per_sec"] = round(train_eps, 3)
+                extras["train_step_compile_s"] = round(compile_s, 1)
+            except Exception as e:  # pragma: no cover - chip state
+                extras["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+            emit()
 
-    if is_vit and os.environ.get("BENCH_INT8", "1") == "1":
+    if is_vit and os.environ.get("BENCH_INT8", "1") == "1" and stage_fits(
+            "int8", 300):
         # dynamic-int8 projection/MLP matmuls (MODEL.INT8_EVAL, opt-in in
         # production — accuracy on real checkpoints unvalidated here, see
         # README "Known limitations"): measured +19% E2E with 100% argmax
@@ -444,8 +521,10 @@ def main():
             extras["int8_batched_eps_per_sec"] = round(q_E / t_q, 3)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["int8_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
 
-    if arch_name == "ViT-B/16" and os.environ.get("BENCH_RN50", "1") == "1":
+    if (arch_name == "ViT-B/16" and os.environ.get("BENCH_RN50", "1") == "1"
+            and stage_fits("rn50", 300)):
         # also record the reference's other headline backbone in extras so
         # one bench artifact carries both flagships (RN50 runs unchunked by
         # design — see README "RN50 flagship"); eval only, quick protocol
@@ -487,31 +566,10 @@ def main():
             extras["rn50_batched_eps_per_sec"] = round(rn_E / t_rn, 3)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["rn50_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_baseline.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)["value"]
-    else:
-        baseline = batched_eps_per_sec
-        with open(baseline_path, "w") as f:
-            json.dump({"metric": "episodes/sec/chip", "value": baseline,
-                       "recorded": time.strftime("%Y-%m-%d"),
-                       "note": "first measured value; reference publishes "
-                               "no throughput numbers"}, f)
-
-    print(json.dumps({
-        "metric": f"episodes/sec/chip (5w5s 8f {arch_name} eval, batched "
-                  f"E={E})",
-        "value": round(batched_eps_per_sec, 3),
-        "unit": "episodes/s",
-        # the baseline pin is the round-1 ViT-B/16 number; a non-default
-        # arch is not comparable to it
-        "vs_baseline": (round(batched_eps_per_sec / baseline, 3)
-                        if arch_name == "ViT-B/16" else None),
-        "extras": extras,
-    }))
+    extras["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    emit()   # final merged record (last JSON line of the tail)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,15 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    # Platform pin for this environment: the site hook force-sets
+    # jax_platforms="axon,cpu" and IGNORES the JAX_PLATFORMS env var, so
+    # give the CLI its own escape hatch (CLIPSPM_PLATFORM=cpu runs the
+    # whole pipeline on host, as the tests do via conftest).
+    platform = os.environ.get("CLIPSPM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from clipspm_tpu.utils.config import load_config
     from clipspm_tpu.train.setup import build_learner
     from clipspm_tpu.train.checkpoint import CheckpointManager

@@ -1,0 +1,152 @@
+"""Production-scale convergence proof on real hardware.
+
+Trains a full-size CLIP backbone + CLIP-SPM head THROUGH THE CLI (the same
+surface a user runs — reference train protocol: run/main_run.py:179-243) on
+the synthetic class-separable on-disk JPEG dataset for a few hundred
+episodes, with mid-train validations; then restarts a FRESH process in
+ONLY_TEST mode to prove checkpoint -> restore -> same accuracy.
+
+This is the strongest accuracy statement available without the real
+CLIP weights / frame dumps (see scripts/repro_accuracy.py for the
+asset-gated path): the production architecture, production episode shapes
+(5-way 5-shot, 8 frames, 224^2), the production optimizer/loop, learning
+from random initialisation to >> chance on separable data.
+
+Usage:
+    python scripts/train_convergence.py --arch ViT-B/16 \
+        [--episodes 400] [--lr 3e-4] [--root /tmp/conv_ds] [--final-eps 200]
+
+Prints one JSON line: {"arch", "episodes", "val_curve", "final_acc",
+"final_ci", "restore_acc", "wall_s", ...}. Pass --keep to retain the
+checkpoint dir for inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, env=None):
+    e = dict(os.environ)
+    e.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if env:
+        e.update(env)
+    p = subprocess.run([sys.executable, "-m", "clipspm_tpu.cli.run"] + args,
+                       cwd=REPO, env=e, capture_output=True, text=True)
+    sys.stderr.write(p.stdout[-4000:] + p.stderr[-2000:])
+    if p.returncode != 0:
+        raise RuntimeError(f"CLI exited {p.returncode}")
+    return p.stdout
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="ViT-B/16")
+    ap.add_argument("--episodes", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=3e-4,
+                    help="LR for training FROM RANDOM INIT (the shipped "
+                         "1e-5 is a finetuning LR; random init needs a "
+                         "larger step to move in ~25 optimizer updates)")
+    ap.add_argument("--tasks-per-batch", type=int, default=16)
+    ap.add_argument("--val-freq", type=int, default=96)
+    ap.add_argument("--val-eps", type=int, default=48)
+    ap.add_argument("--final-eps", type=int, default=200)
+    ap.add_argument("--root", default="/tmp/conv_ds")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="plumbing check on CPU: test-tiny backbone, "
+                         "32^2 frames, a handful of episodes")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_synthetic_dataset import make_dataset
+
+    img = 224
+    if args.smoke:
+        args.arch, img = "test-tiny", 32
+        args.root = args.root + "_smoke"
+        args.episodes = min(args.episodes, 16)
+        args.tasks_per_batch, args.val_freq = 4, 8
+        args.val_eps, args.final_eps = 4, 8
+        os.environ.setdefault("CLIPSPM_PLATFORM", "cpu")
+
+    # production-geometry dataset: 256^2 JPEGs, 12 frames/video, 8 classes
+    # for 5-way sampling, 10 videos/class (>= train shot 5 + queries 4)
+    seq_len = 8 if not args.smoke else 4
+    if not os.path.exists(os.path.join(args.root, "hmdb_256x256q5_l8")):
+        make_dataset(args.root, classes=8, videos=10,
+                     frames=12 if not args.smoke else 6,
+                     size=256 if not args.smoke else 48,
+                     img_size=img, seq_len=seq_len)
+
+    ckpt = os.path.join(args.root, f"ckpt_{args.arch.replace('/', '_')}")
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)   # created by a previous run of this script
+
+    common = [
+        "--cfg", os.path.join(REPO, "configs/clipspm/hmdb.yaml"),
+        "--splits-root", args.root,
+        "--allow-random-weights",   # no CLIP release weights in this env
+        f"MODEL.BACKBONE={args.arch}",
+        f"DATA.DATA_DIR={args.root}",
+        f"DATA.SEQ_LEN={seq_len}",
+        f"DATA.IMG_SIZE={img}",
+        f"CHECKPOINT.CHECKPOINT_DIR={ckpt}",
+        f"SOLVER.LR={args.lr}",
+    ]
+    t0 = time.perf_counter()
+    out = sh(common + [
+        f"TRAIN.TRAIN_EPISODES={args.episodes}",
+        f"TRAIN.TASKS_PER_BATCH={args.tasks_per_batch}",
+        f"TRAIN.VAL_FREQ={args.val_freq}",
+        f"TRAIN.PRINT_FREQ={max(16, args.tasks_per_batch)}",
+        f"TEST.TEST_EPISODES={args.val_eps}",
+        "CHECKPOINT.SAVE_FREQ=0",
+    ])
+    train_wall = time.perf_counter() - t0
+    val_curve = [(int(ep), float(acc)) for ep, acc in
+                 re.findall(r"Val @ (\d+): acc ([\d.]+)", out)]
+    train_curve = [(int(ep), float(loss)) for ep, loss in
+                   re.findall(r"Task \[(\d+)/\d+\], Train Loss: ([\d.]+)",
+                              out)]
+
+    # fresh-process restore + final eval at a tighter CI
+    t0 = time.perf_counter()
+    out = sh(common + ["TEST.ONLY_TEST=true",
+                       f"TEST.TEST_EPISODES={args.final_eps}"])
+    final_wall = time.perf_counter() - t0
+    m = re.search(r"hmdb: ([\d.]+) \+/- ([\d.]+)", out)
+    final_acc, final_ci = float(m.group(1)), float(m.group(2))
+
+    # second restore must reproduce the same number (determinism of
+    # checkpoint -> restore -> eval; eval episodes are seeded)
+    out = sh(common + ["TEST.ONLY_TEST=true",
+                       f"TEST.TEST_EPISODES={args.final_eps}"])
+    m = re.search(r"hmdb: ([\d.]+) \+/- ([\d.]+)", out)
+    restore_acc = float(m.group(1))
+
+    if not args.keep:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    print(json.dumps({
+        "arch": args.arch, "episodes": args.episodes, "lr": args.lr,
+        "chance_pct": 20.0,
+        "train_loss_curve": train_curve, "val_curve": val_curve,
+        "final_acc": final_acc, "final_ci": final_ci,
+        "final_eval_episodes": args.final_eps,
+        "restore_acc": restore_acc,
+        "train_wall_s": round(train_wall, 1),
+        "final_eval_wall_s": round(final_wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
