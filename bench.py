@@ -136,7 +136,11 @@ def _bench_train_accum(jax, jnp, model, variables, episodes, n_staged, text,
         "MODEL": {"NAME": "clipspm", "BACKBONE": "bench", "SEED": 0},
         "TRAIN": {"WAY": 5, "SHOT": 5, "TASKS_PER_BATCH": E},
         "SOLVER": {"LR": 1e-4, "WEIGHT_DECAY": 5e-5, "LR_SCH": 1000000,
-                   "OPTIM_METHOD": "adam"},
+                   "OPTIM_METHOD": "adam",
+                   # BENCH_ACCUM_DTYPE=bfloat16 A/Bs the bf16 gradient
+                   # accumulator (see Learner)
+                   "ACCUM_DTYPE": os.environ.get("BENCH_ACCUM_DTYPE",
+                                                 "float32")},
         "DATA": {"SEQ_LEN": 8, "IMG_SIZE": 224, "DATASET": "hmdb"},
     })
     learner = Learner(cfg, model, dict(variables), text_train=text,
@@ -332,9 +336,14 @@ def main():
     # change RN50 training semantics.
     train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK",
                                      "40" if is_vit else "0"))
+    # BENCH_REMAT=dots saves projection/MLP dot outputs across train-encode
+    # chunks (backward recomputes only elementwise+attention; ~7.9 G extra
+    # HBM at the 240-frame step) — see visual.encode_chunked
+    remat = os.environ.get("BENCH_REMAT", "full")
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
-                         encode_chunk=chunk, train_encode_chunk=train_chunk)
+                         encode_chunk=chunk, train_encode_chunk=train_chunk,
+                         train_remat_policy=remat)
     S, Q, D = way * shot, way * queries, arch.embed_dim
 
     rng = jax.random.PRNGKey(0)

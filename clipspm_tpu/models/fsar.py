@@ -51,6 +51,9 @@ class CLIPSPMModel(nn.Module):
     # chunk the training encode too (ViT only: no BN/dropout in the tower);
     # scan-carried residuals cut backward peak HBM ~N/chunk-fold
     train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
+    # backward memory/recompute trade for the chunked train encode
+    # ("full" | "dots" — see visual.encode_chunked)
+    train_remat_policy: str = "full"
     otam_backend: str = "scan"
 
     def setup(self):
@@ -74,7 +77,8 @@ class CLIPSPMModel(nn.Module):
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
                                train=train,
-                               train_chunk=self.train_encode_chunk)
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
         dim = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, dim)
         qu = feats[S * T:].reshape(Q, T, dim)
@@ -155,6 +159,10 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
             "updated inside the chunked-encode scan and would make per-chunk "
             "training semantics differ from the unchunked step")
     otam_backend = str(cfg.MODEL.get("OTAM_BACKEND", "scan") or "scan")
+    # backward memory/recompute trade for the chunked train encode
+    # ("full" default; "dots" saves projection/MLP dot outputs across
+    # chunks — see visual.encode_chunked)
+    remat_policy = str(cfg.MODEL.get("TRAIN_REMAT_POLICY", "full") or "full")
     # test-size resnet trunks use a narrow width
     rn_width = 8 if backbone == "test-tiny-resnet" else 64
     rn_arch = "resnet18" if backbone == "test-tiny-resnet" else backbone
@@ -164,6 +172,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         return CLIPSPMModel(
             arch=arch, way=way, shot=shot, encode_chunk=chunk,
             train_encode_chunk=train_chunk,
+            train_remat_policy=remat_policy,
             otam_backend=otam_backend,
             spm=dict(cfg.params), dtype=dtype,
             single_direct=bool(cfg.MODEL.get("SINGLE_DIRECT", False)))
@@ -174,6 +183,7 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
         return CLIPFSARModel(
             arch=clip_arch(), way=way, shot=shot, dtype=dtype,
             encode_chunk=chunk, train_encode_chunk=train_chunk,
+            train_remat_policy=remat_policy,
             otam_backend=otam_backend,
             transformer_depth=int(m.get("TRANSFORMER_DEPTH", 1) or 1),
             use_classification=bool(m.get("USE_CLASSIFICATION", True)),
@@ -187,7 +197,8 @@ def build_model(cfg, arch_override: Optional[str] = None) -> nn.Module:
 
         return STENModel(arch=clip_arch(), way=way, shot=shot,
                          dtype=dtype, encode_chunk=chunk,
-                         train_encode_chunk=train_chunk)
+                         train_encode_chunk=train_chunk,
+                         train_remat_policy=remat_policy)
     if name == "otam":
         from .heads.otam import OTAMModel
 

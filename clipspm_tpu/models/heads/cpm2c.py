@@ -68,6 +68,7 @@ class CPM2CModel(nn.Module):
     encode_chunk: int = 0
     # remat-chunked training encode (ViT only; see visual.encode_chunked)
     train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
+    train_remat_policy: str = "full"  # "full" | "dots" (visual.encode_chunked)
     # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
     otam_backend: str = "scan"
 
@@ -238,7 +239,8 @@ class CPM2CModel(nn.Module):
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
                                train=train,
-                               train_chunk=self.train_encode_chunk)
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)

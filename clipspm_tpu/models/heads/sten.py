@@ -30,6 +30,7 @@ class STENModel(nn.Module):
     encode_chunk: int = 0
     # remat-chunked training encode (ViT only; see visual.encode_chunked)
     train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
+    train_remat_policy: str = "full"  # "full" | "dots" (visual.encode_chunked)
 
     def setup(self):
         self.backbone = (self.backbone_override
@@ -48,7 +49,8 @@ class STENModel(nn.Module):
             axis=0).astype(self.dtype)
         feats = encode_chunked(self.backbone, both, self.encode_chunk,
                                train=train,
-                               train_chunk=self.train_encode_chunk)
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
         D = feats.shape[-1]
         su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
         qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)

@@ -19,7 +19,8 @@ class IdentityBackbone(nn.Module):
 
 def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
                    train: bool = False,
-                   train_chunk: int = 0) -> jnp.ndarray:
+                   train_chunk: int = 0,
+                   remat_policy: str = "full") -> jnp.ndarray:
     """Encode ``[N, ...]`` frames through ``backbone`` in VMEM-friendly chunks.
 
     On v5e the ViT-B/16 encode gets *slower* per frame as the batch grows
@@ -45,6 +46,17 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
     differ — measured ViT-B/16 240-frame train step on v5e: 3.17 eps/s at
     width 40 vs 2.92 at the eval-optimal 30 (remat recompute amortizes
     better over slightly larger chunks; 60 regresses to 2.93, VMEM spill).
+
+    ``remat_policy`` trades backward-pass HBM for recompute FLOPs:
+    - "full" (default): recompute everything per chunk — minimum memory,
+      backward pays a full extra forward (the safe fit on a 15.75 G chip).
+    - "dots": ``jax.checkpoint_policies.dots_with_no_batch_dims_saveable``
+      — the projection/MLP matmul outputs (where ~95% of the recompute
+      FLOPs are: qkv/proj/fc/out dots; the batched attention-score dots
+      are NOT saved) are kept across chunks, so the backward recomputes
+      only elementwise chains + attention. Costs ~33 MB x layers per
+      saved chunk-frame block (ViT-B/16 240-frame step: ~7.9 G extra) —
+      use when the shape fits.
     """
     N = frames.shape[0]
     if train:
@@ -61,7 +73,17 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
         # prevent_cse=False is safe (and faster) inside scan: the scan body
         # is already a single compiled region, so XLA cannot CSE across the
         # remat boundary
-        body = nn.remat(body, prevent_cse=False)
+        import jax
+
+        policies = {"full": None,
+                    "dots": jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable}
+        if remat_policy not in policies:
+            raise ValueError(
+                f"unknown remat_policy {remat_policy!r}; "
+                f"expected one of {sorted(policies)}")
+        body = nn.remat(body, prevent_cse=False,
+                        policy=policies[remat_policy])
     scan = nn.scan(body,
                    variable_broadcast=["params", "batch_stats"],
                    split_rngs={"params": False, "dropout": False},

@@ -97,6 +97,17 @@ class Learner:
         if parallel_episodes is None:
             parallel_episodes = mesh.shape["dp"] if mesh is not None else 1
         self.parallel_episodes = int(parallel_episodes)
+        # SOLVER.ACCUM_DTYPE: 'bfloat16' accumulates the per-episode
+        # gradient sum in bf16 (halving the scan-carried accumulator
+        # read/write bytes — the profiled 16.5% select_add slice) with the
+        # optimizer update still fp32. Opt-in: summing E bf16 terms costs
+        # ~2^-9 relative error vs the reference's fp32 accumulation.
+        accum = str(cfg.get("SOLVER", {}).get("ACCUM_DTYPE", "float32")
+                    or "float32")
+        if accum not in ("float32", "bfloat16"):
+            raise ValueError(f"SOLVER.ACCUM_DTYPE must be float32 or "
+                             f"bfloat16, got {accum!r}")
+        self.accum_dtype = jnp.bfloat16 if accum == "bfloat16" else None
 
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -213,20 +224,28 @@ class Learner:
         else:
             micro = None
 
+        acc_dt = self.accum_dtype
+
         def body(carry, inp):
             grads_acc, stats, loss_acc, acc_acc = carry
             ep, k = inp
             step_fn = micro if M > 1 else vg
             (loss, (acc, new_stats)), grads = step_fn(state.params, stats,
                                                       ep, k)
+            if acc_dt is not None:
+                grads = jax.tree.map(lambda g: g.astype(acc_dt), grads)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, new_stats, loss_acc + loss, acc_acc + acc), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, acc_dt or p.dtype), state.params)
         init = (zero_grads, state.batch_stats, jnp.asarray(0.0, jnp.float32),
                 jnp.asarray(0.0, jnp.float32))
         (grads, new_stats, loss_sum, acc_sum), _ = jax.lax.scan(
             body, init, (batch, ep_rngs))
+        if acc_dt is not None:
+            grads = jax.tree.map(
+                lambda g, p: g.astype(p.dtype), grads, state.params)
 
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)

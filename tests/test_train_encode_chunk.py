@@ -18,14 +18,18 @@ from clipspm_tpu.utils.config import SPM_DEFAULT_PARAMS
 import pytest
 
 
-@pytest.mark.parametrize("train_chunk", [True, 4])
-def test_train_chunked_forward_and_grads_match(train_chunk):
+@pytest.mark.parametrize("train_chunk,policy", [(True, "full"), (4, "full"),
+                                                (4, "dots")])
+def test_train_chunked_forward_and_grads_match(train_chunk, policy):
     # True reuses the eval width (3); 4 is a distinct train width (the
-    # production default uses 40-frame train chunks vs 30 for eval)
+    # production default uses 40-frame train chunks vs 30 for eval).
+    # policy="dots" keeps projection/MLP dot outputs across chunks — a
+    # recompute-FLOPs saving that must be gradient-invisible.
     arch = CLIP_ARCHS["test-tiny"]
     kw = dict(arch=arch, way=2, shot=1, spm=SPM_DEFAULT_PARAMS["hmdb"])
     m0 = CLIPSPMModel(**kw)
-    m1 = CLIPSPMModel(**kw, encode_chunk=3, train_encode_chunk=train_chunk)
+    m1 = CLIPSPMModel(**kw, encode_chunk=3, train_encode_chunk=train_chunk,
+                      train_remat_policy=policy)
     S, Q, T, img, D = 2, 2, 4, 32, arch.embed_dim
     rng = np.random.default_rng(0)
     args = (jnp.asarray(rng.uniform(size=(S, T, img, img, 3)), jnp.float32),
