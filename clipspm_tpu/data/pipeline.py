@@ -11,6 +11,7 @@ on IO.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import queue
 import threading
 from typing import Iterator, List, Optional
@@ -105,6 +106,11 @@ class EpisodeLoader:
             use_native = get_library() is not None
         self.frame_size = probe_frame_size(self.catalog) if use_native else None
         self.num_workers = max(1, num_workers)
+        # native decode threads beyond the physical core count actively hurt
+        # (measured on a 1-vCPU host: 736 fps at 1 thread vs 547-580 at
+        # 2-16 — contention, no parallelism; scripts/bench_decoder.py)
+        self.native_threads = max(1, min(self.num_workers,
+                                         os.cpu_count() or self.num_workers))
         self.prefetch = max(1, prefetch)
         self._queue: "queue.Queue[Episode]" = queue.Queue(self.prefetch)
         self._pool = cf.ThreadPoolExecutor(max_workers=self.num_workers)
@@ -120,7 +126,7 @@ class EpisodeLoader:
                 plan = self.sampler.sample()
                 ep = decode_plan(plan, self.catalog, self._pool,
                                  frame_size=self.frame_size,
-                                 native_threads=self.num_workers)
+                                 native_threads=self.native_threads)
                 consecutive_failures = 0
             except Exception as exc:  # corrupt/missing frames: skip episode
                 # (the reference hard-exits on any IO problem — SURVEY §5
