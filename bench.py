@@ -263,20 +263,30 @@ def bench_e2e(quick: bool):
 
     n_b = 3 if quick else 6
     # steady-state: loader prefetch threads fill while the device computes;
-    # depth-1 pipeline (dispatch batch i+1 before syncing batch i). The
-    # timed window must contain the SAME number of host-staging cycles as
-    # batches credited — starting t0 after the first next_batch() would
-    # credit n_b+1 batches against n_b stagings and overstate throughput by
-    # (n_b+1)/n_b when the host path is the bottleneck.
+    # depth-1 pipeline (dispatch batch i+1 before syncing batch i) PLUS a
+    # staging thread so episode assembly + H2D for batch i+1 overlaps the
+    # host-side sync wait on batch i (through the tunnel the device_put is
+    # host-blocking, so without the thread it serializes with decode). The
+    # timed window contains the SAME number of host-staging cycles as
+    # batches credited — crediting n_b+1 batches against n_b stagings would
+    # overstate throughput by (n_b+1)/n_b when the host path is the
+    # bottleneck.
+    import concurrent.futures as cf
+
+    stager = cf.ThreadPoolExecutor(max_workers=1)
     t0 = time.perf_counter()
-    pend = batched(variables, next_batch())
-    for _ in range(n_b):
-        nxt = batched(variables, next_batch())
+    # exactly n_b+1 staging jobs inside the window, run serially by the
+    # one staging thread, each overlapping the main thread's sync waits
+    futs = [stager.submit(next_batch) for _ in range(n_b + 1)]
+    pend = batched(variables, futs[0].result())
+    for i in range(1, n_b + 1):
+        nxt = batched(variables, futs[i].result())
         _sync(pend)
         pend = nxt
     _sync(pend)
     wall = time.perf_counter() - t0
     e2e_eps = (n_b + 1) * E / wall
+    stager.shutdown(wait=False)
     loader.close()
 
     print(json.dumps({

@@ -61,6 +61,19 @@ def main():
     ap.add_argument("--val-eps", type=int, default=48)
     ap.add_argument("--final-eps", type=int, default=200)
     ap.add_argument("--root", default="/tmp/conv_ds")
+    ap.add_argument("--classes", type=int, default=8,
+                    help="train classes in the generated dataset (test "
+                         "classes are DISJOINT — hue-offset — so final "
+                         "accuracy measures unseen-class transfer; denser "
+                         "hue coverage improves it)")
+    ap.add_argument("--lr-sch", type=int, default=0,
+                    help="episode milestone for the reference MultiStep "
+                         "0.1x LR decay (0 = no decay)")
+    ap.add_argument("--videos", type=int, default=10,
+                    help="videos per class in the generated dataset; more "
+                         "videos = more video-level diversity = smaller "
+                         "train->val generalization gap (10 videos/class "
+                         "caps ViT-B/16 at ~87%% val)")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing check on CPU: test-tiny backbone, "
@@ -83,7 +96,7 @@ def main():
     # for 5-way sampling, 10 videos/class (>= train shot 5 + queries 4)
     seq_len = 8 if not args.smoke else 4
     if not os.path.exists(os.path.join(args.root, "hmdb_256x256q5_l8")):
-        make_dataset(args.root, classes=8, videos=10,
+        make_dataset(args.root, classes=args.classes, videos=args.videos,
                      frames=12 if not args.smoke else 6,
                      size=256 if not args.smoke else 48,
                      img_size=img, seq_len=seq_len)
@@ -103,6 +116,8 @@ def main():
         f"CHECKPOINT.CHECKPOINT_DIR={ckpt}",
         f"SOLVER.LR={args.lr}",
     ]
+    if args.lr_sch:
+        common.append(f"SOLVER.LR_SCH={args.lr_sch}")
     t0 = time.perf_counter()
     out = sh(common + [
         f"TRAIN.TRAIN_EPISODES={args.episodes}",
