@@ -55,8 +55,10 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
       FLOPs are: qkv/proj/fc/out dots; the batched attention-score dots
       are NOT saved) are kept across chunks, so the backward recomputes
       only elementwise chains + attention. Costs ~33 MB x layers per
-      saved chunk-frame block (ViT-B/16 240-frame step: ~7.9 G extra) —
-      use when the shape fits.
+      saved chunk-frame block (ViT-B/16 240-frame step: ~7.9 G extra,
+      chunk-width-INDEPENDENT — measured RESOURCE_EXHAUSTED on a 15.75 G
+      v5e at widths 16/24/30/40 even with state donation; use on >=32 G
+      parts).
     """
     N = frames.shape[0]
     if train:

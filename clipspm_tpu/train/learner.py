@@ -109,8 +109,16 @@ class Learner:
                              f"bfloat16, got {accum!r}")
         self.accum_dtype = jnp.bfloat16 if accum == "bfloat16" else None
 
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        # The TrainState must OWN its buffers: the donated train step frees
+        # the input state's memory, so aliasing the caller's ``variables``
+        # (or the same text array twice — XLA rejects a buffer donated via
+        # two leaves with INVALID_ARGUMENT) would free arrays the caller
+        # still holds. jnp.array(copy=True) breaks every alias once at init.
+        def _own(tree):
+            return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+        params = _own(variables["params"])
+        batch_stats = _own(variables.get("batch_stats", {}))
         dim = 1
         if text_train is None:
             text_train = jnp.zeros((1, dim), jnp.float32)
@@ -121,15 +129,20 @@ class Learner:
             opt_state=self.tx.init(params),
             episode=jnp.asarray(0, jnp.int32),
             rng=jax.random.PRNGKey(int(cfg.MODEL.SEED)),
-            text_train=jnp.asarray(text_train),
-            text_test=jnp.asarray(text_test))
+            text_train=jnp.array(text_train, copy=True),
+            text_test=jnp.array(text_test, copy=True))
         if mesh is not None and mesh.shape.get("tp", 1) > 1:
             # megatron tensor sharding of the params (and Adam moments);
             # GSPMD inserts the row-parallel psums — see parallel/tensor.py
             from ..parallel.tensor import shard_train_state
             self.state = shard_train_state(self.state, mesh)
 
-        self._train_step = jax.jit(self._train_step_impl)
+        # donate the TrainState: XLA aliases the new params/Adam moments
+        # onto the old buffers instead of double-buffering them (~3x params
+        # bytes of peak HBM + the update's copy traffic). Callers never
+        # touch a pre-step state after stepping (train_episodes replaces
+        # self.state); donation is a no-op on CPU test runs.
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._eval_batch = jax.jit(self._eval_batch_impl)
 
