@@ -286,3 +286,43 @@ def test_eval_batch_rounds_up_to_dp_multiple():
     np.testing.assert_allclose(r_seq["accuracy"], r_par["accuracy"],
                                atol=1e-3)
     np.testing.assert_allclose(r_seq["loss"], r_par["loss"], rtol=1e-4)
+
+
+def test_train_state_owns_its_buffers():
+    """The donated train step frees the input state's buffers, so the
+    Learner must never alias caller-held arrays into the TrainState
+    (learner.py: _own) — in particular text_train/text_test built from ONE
+    array would otherwise donate the same buffer via two leaves, which XLA
+    rejects with INVALID_ARGUMENT on real devices."""
+    arch = CLIP_ARCHS["test-tiny"]
+    cfg = _cfg(tpb=2)
+    model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT, spm=dict(cfg.params))
+    S, Q, D = WAY * SHOT, WAY * QUERIES, arch.embed_dim
+    dummy = (
+        jnp.zeros((S, T, IMG, IMG, 3), jnp.float32),
+        jnp.zeros((Q, T, IMG, IMG, 3), jnp.float32),
+        jnp.arange(S, dtype=jnp.int32) % WAY,
+        jnp.zeros((S,), jnp.int32), jnp.zeros((Q,), jnp.int32),
+        jnp.zeros((8, D), jnp.float32), jnp.zeros((8, D), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    text = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, D)).astype(np.float32))
+    # the SAME device array for both text roles — the donation trap
+    learner = Learner(cfg, model, variables, text_train=text, text_test=text)
+
+    caller_leaves = {id(l) for l in jax.tree.leaves(variables["params"])}
+    caller_leaves.add(id(text))
+    state_leaves = [learner.state.text_train, learner.state.text_test]
+    state_leaves += jax.tree.leaves(learner.state.params)
+    for leaf in state_leaves:
+        assert id(leaf) not in caller_leaves, "TrainState aliases caller"
+    # the two text leaves must also be distinct buffers from each other
+    assert learner.state.text_train is not learner.state.text_test
+    # and donation must not invalidate the caller's arrays after a step
+    src = SyntheticEpisodeSource(way=WAY, shot=SHOT, queries=QUERIES,
+                                 seq_len=T, img_size=IMG + 8, num_classes=8)
+    learner.transform = TransformSpec(img_size=IMG, resize_to=IMG + 8)
+    learner.train_episodes([src.sample(), src.sample()])
+    np.asarray(text)  # still alive
+    np.asarray(jax.tree.leaves(variables["params"])[0])
