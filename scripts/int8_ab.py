@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--splits-root", default=None)
     ap.add_argument("--episodes", type=int, default=200)
     ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--allow-random-weights", action="store_true",
+                    help="permit a random-init backbone (e.g. A/B-ing a "
+                         "checkpoint trained from scratch without the CLIP "
+                         "release weights)")
     ap.add_argument("--smoke", action="store_true",
                     help="synthetic on-disk dataset + random weights on CPU "
                          "(pipeline check; accuracy deltas are meaningless "
@@ -80,8 +84,9 @@ def main(argv=None):
     cfg = load_config(args.cfg, opts=opts, splits_root=splits_root)
 
     # bf16 learner owns data, weights, checkpoint restore, text tables
-    learner = build_learner(cfg, log_fn=lambda m: print(m, file=sys.stderr),
-                            allow_random_weights=args.smoke)
+    learner = build_learner(
+        cfg, log_fn=lambda m: print(m, file=sys.stderr),
+        allow_random_weights=args.smoke or args.allow_random_weights)
     manager = CheckpointManager(cfg.CHECKPOINT.CHECKPOINT_DIR)
     restored = False
     if manager.exists("best"):

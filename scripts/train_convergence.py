@@ -50,6 +50,14 @@ def sh(args, env=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="family config to train (default "
+                         "configs/clipspm/<dataset>.yaml) — any head "
+                         "family works, e.g. configs/molo/ucf.yaml")
+    ap.add_argument("--dataset", default="hmdb",
+                    choices=["hmdb", "ucf", "kinetics"],
+                    help="synthetic-dataset layout; must match the "
+                         "config's DATA.DATASET")
     ap.add_argument("--arch", default="ViT-B/16")
     ap.add_argument("--episodes", type=int, default=400)
     ap.add_argument("--lr", type=float, default=3e-4,
@@ -95,18 +103,21 @@ def main():
     # production-geometry dataset: 256^2 JPEGs, 12 frames/video, 8 classes
     # for 5-way sampling, 10 videos/class (>= train shot 5 + queries 4)
     seq_len = 8 if not args.smoke else 4
-    if not os.path.exists(os.path.join(args.root, "hmdb_256x256q5_l8")):
+    frame_dirs = {"hmdb": "hmdb_256x256q5_l8", "ucf": "ucf_256x256q5_l8",
+                  "kinetics": "k100_256x256q5_l8"}
+    if not os.path.exists(os.path.join(args.root, frame_dirs[args.dataset])):
         make_dataset(args.root, classes=args.classes, videos=args.videos,
                      frames=12 if not args.smoke else 6,
                      size=256 if not args.smoke else 48,
-                     img_size=img, seq_len=seq_len)
+                     img_size=img, seq_len=seq_len, dataset=args.dataset)
 
     ckpt = os.path.join(args.root, f"ckpt_{args.arch.replace('/', '_')}")
     if os.path.isdir(ckpt):
         shutil.rmtree(ckpt)   # created by a previous run of this script
 
     common = [
-        "--cfg", os.path.join(REPO, "configs/clipspm/hmdb.yaml"),
+        "--cfg", args.cfg or os.path.join(
+            REPO, f"configs/clipspm/{args.dataset}.yaml"),
         "--splits-root", args.root,
         "--allow-random-weights",   # no CLIP release weights in this env
         f"MODEL.BACKBONE={args.arch}",
@@ -139,14 +150,14 @@ def main():
     out = sh(common + ["TEST.ONLY_TEST=true",
                        f"TEST.TEST_EPISODES={args.final_eps}"])
     final_wall = time.perf_counter() - t0
-    m = re.search(r"hmdb: ([\d.]+) \+/- ([\d.]+)", out)
+    m = re.search(r"\w+: ([\d.]+) \+/- ([\d.]+)", out)
     final_acc, final_ci = float(m.group(1)), float(m.group(2))
 
     # second restore must reproduce the same number (determinism of
     # checkpoint -> restore -> eval; eval episodes are seeded)
     out = sh(common + ["TEST.ONLY_TEST=true",
                        f"TEST.TEST_EPISODES={args.final_eps}"])
-    m = re.search(r"hmdb: ([\d.]+) \+/- ([\d.]+)", out)
+    m = re.search(r"\w+: ([\d.]+) \+/- ([\d.]+)", out)
     restore_acc = float(m.group(1))
 
     if not args.keep:
