@@ -25,7 +25,7 @@ import os
 def make_dataset(root: str, classes: int = 4, videos: int = 6,
                  frames: int = 6, size: int = 48, dataset: str = "hmdb",
                  img_size: int = 32, seq_len: int = 4,
-                 quality: int = 80) -> str:
+                 quality: int = 80, disjoint_test: bool = True) -> str:
     """Write the dataset + a tiny config; returns the config path."""
     import numpy as np
     from PIL import Image
@@ -41,8 +41,13 @@ def make_dataset(root: str, classes: int = 4, videos: int = 6,
         for c in range(classes):
             cname = f"class{c:02d}"
             # distinct base colors per class; test classes offset so the
-            # two splits are disjoint label sets (episodic protocol)
-            hue = (c + (classes if mode == "test" else 0)) / (2 * classes)
+            # two splits are disjoint label sets (episodic protocol).
+            # disjoint_test=False instead reuses the TRAIN hues for the
+            # test split (fresh videos): eval then measures seen-class
+            # few-shot matching rather than unseen-class transfer —
+            # the two numbers bracket a trained model's quality.
+            off = classes if (mode == "test" and disjoint_test) else 0
+            hue = (c + off) / (2 * classes)
             base = np.array([hue * 255, (1 - hue) * 255, 128.0])
             for v in range(videos):
                 vid = f"v{v:03d}"
@@ -104,11 +109,16 @@ def main():
     p.add_argument("--seq-len", type=int, default=4)
     p.add_argument("--dataset", default="hmdb",
                    choices=["hmdb", "ucf", "kinetics"])
+    p.add_argument("--seen-test", action="store_true",
+                   help="test split reuses the train hues (fresh videos): "
+                        "seen-class few-shot eval instead of unseen-class "
+                        "transfer")
     args = p.parse_args()
     cfg = make_dataset(args.root, classes=args.classes, videos=args.videos,
                        frames=args.frames, size=args.size,
                        dataset=args.dataset, img_size=args.img_size,
-                       seq_len=args.seq_len)
+                       seq_len=args.seq_len,
+                       disjoint_test=not args.seen_test)
     print(cfg)
 
 
