@@ -119,6 +119,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.smoke:
+        # hermetic plumbing check: default to CPU like the other --smoke
+        # modes (the tiny backbone needs no accelerator, and a wedged
+        # remote platform must not be able to hang the asset checklist)
+        os.environ.setdefault("CLIPSPM_PLATFORM", "cpu")
         root = "/tmp/repro_smoke_ds"
         if not os.path.isdir(root):
             subprocess.run([sys.executable,
