@@ -447,13 +447,17 @@ class Learner:
                                  "acc/Train_acc[it]": m["acc"]}, episode)
 
             if episode % print_freq < tpb:
+                from ..utils.metrics import host_rss_gb
+
+                rss = host_rss_gb()
                 self.log(f"Task [{episode}/{total}], Train Loss: "
                          f"{np.mean(window_loss):.7f}, Train Accuracy: "
-                         f"{np.mean(window_acc):.7f}")
+                         f"{np.mean(window_acc):.7f}, RSS: {rss:.1f}G")
                 if metrics is not None:
                     metrics.scalars(
                         {"loss/Train_loss[mean]": float(np.mean(window_loss)),
-                         "acc/Train_acc[mean]": float(np.mean(window_acc))},
+                         "acc/Train_acc[mean]": float(np.mean(window_acc)),
+                         "sys/host_rss_gb": rss},
                         episode // print_freq)
                 window_loss, window_acc = [], []
 

@@ -27,6 +27,24 @@ import time
 from typing import Dict, Iterable, Optional
 
 
+def host_rss_gb() -> float:
+    """Resident-set size of this process in GB (0.0 if unreadable).
+
+    Logged with every training print line: host-memory growth is the
+    leading indicator of a buffer-lifetime bug on remote/tunneled
+    backends (a donation-style leak of ~1.4 GB/step OOM'd a 125 GB host
+    in testing — README "Train-throughput levers"), and a number in every
+    log line is what makes that failure diagnosable after the fact."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def _open_event_writer(tb_dir: str):
     """Standard TensorBoard event-file writer, or None if the (optional)
     tensorboard package is unavailable."""
