@@ -54,11 +54,176 @@ import time
 
 import numpy as np
 
+# set by main()'s emit(): once a valid primary JSON line is on stdout, the
+# top-level handler must not append an error record over it
+_PRIMARY_EMITTED = [False]
+
 
 def _sync(x):
     # block_until_ready is a no-op on tunneled remote platforms; fetching a
     # scalar is a true sync
     return float(x.sum())
+
+
+_PROVISIONAL_EMITTED = [False]
+
+
+def _emit_provisional_outage(msg):
+    """Outage detected at init: put a parseable record on stdout NOW, so
+    even an external kill (rc=124) mid-retry leaves the round documented.
+    Any later JSON line (a real measurement, or the terminal error record)
+    supersedes this one."""
+    if _PROVISIONAL_EMITTED[0] or _PRIMARY_EMITTED[0]:
+        return
+    _PROVISIONAL_EMITTED[0] = True
+    print(json.dumps({
+        "metric": "episodes/sec/chip (5w5s 8f eval)",
+        "value": None,
+        "unit": "episodes/s",
+        "vs_baseline": None,
+        "error": msg[:500],
+        "note": "provisional record: TPU backend outage at init, retrying "
+                "within budget — any LATER JSON line supersedes this one",
+    }))
+    sys.stdout.flush()
+
+
+def _contact_retry_loop(time_left):
+    """In-process device contact, retried on clean transient exceptions
+    (the round-3 failure: init raises ``UNAVAILABLE`` before any JSON)."""
+    import jax
+    import jax.numpy as jnp
+
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            dev = jax.devices()[0]
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            _sync((x @ x).astype(jnp.float32))
+            return dev, attempt
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in (
+                "UNAVAILABLE", "Unavailable", "unavailable",
+                "Unable to initialize backend", "DEADLINE_EXCEEDED",
+                "INTERNAL", "500", "502", "503", "Connection",
+                "RESOURCE_EXHAUSTED"))
+            wait = min(45.0, 10.0 * attempt)
+            if not transient or time_left() < wait + 120:
+                raise RuntimeError(
+                    f"device contact failed after {attempt} attempt(s) "
+                    f"({'transient' if transient else 'non-transient'}, "
+                    f"{time_left():.0f}s budget left): {msg}") from e
+            _emit_provisional_outage(msg)
+            print(f"[bench] device contact failed (attempt {attempt}): "
+                  f"{msg[:200]} — retrying in {wait:.0f}s", file=sys.stderr)
+            sys.stderr.flush()
+            time.sleep(wait)
+            try:
+                from jax.extend.backend import clear_backends
+                clear_backends()
+            except Exception:
+                pass
+
+
+def _recover_from_hang(time_left, hang_s):
+    """Backend init HUNG in-process (the round-2 failure: rc=124, no JSON).
+
+    A hung init holds the backend lock, so further in-process attempts are
+    useless. Probe the tunnel from fresh subprocesses until it recovers,
+    then re-exec this bench in a clean process (the compile cache persists,
+    and the remaining budget is carried via BENCH_DEADLINE_S). Raises when
+    the budget runs out or re-exec already happened twice."""
+    import subprocess
+
+    probe_src = ("import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((128, 128), jnp.bfloat16); "
+                 "print(float((x @ x).astype(jnp.float32).sum()))")
+    n = 0
+    while time_left() > 180:
+        n += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=120, capture_output=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        print(f"[bench] tunnel probe {n}: {'ok' if ok else 'down'} "
+              f"({time_left():.0f}s budget left)", file=sys.stderr)
+        sys.stderr.flush()
+        if ok:
+            reexec = int(os.environ.get("BENCH_REEXEC", "0"))
+            if reexec >= 2:
+                raise RuntimeError(
+                    f"backend healthy in a subprocess probe but init is "
+                    f"wedged in-process even after {reexec} re-execs")
+            os.environ["BENCH_REEXEC"] = str(reexec + 1)
+            os.environ["BENCH_DEADLINE_S"] = str(max(300, int(time_left())))
+            print(f"[bench] tunnel recovered on probe {n}; re-exec with "
+                  f"{os.environ['BENCH_DEADLINE_S']}s budget",
+                  file=sys.stderr)
+            sys.stderr.flush()
+            sys.stdout.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        time.sleep(30)
+    raise RuntimeError(
+        f"backend init hung in-process for {hang_s:.0f}s and {n} subprocess "
+        f"probe(s) stayed down until the budget ran out")
+
+
+def _first_device_contact(time_left):
+    """First device op, defended against BOTH recorded failure modes of the
+    tunneled backend: a clean transient exception at init (round 3, rc=1)
+    and a silent hang at init (round 2, rc=124). Runs the retry loop under a
+    hang-guard thread; on hang, falls back to subprocess probing + re-exec.
+    Returns (device, attempts); raises with a descriptive message when the
+    wall-clock budget is exhausted (caller turns that into the terminal
+    error record)."""
+    import queue
+    import threading
+
+    q = queue.Queue()
+
+    def loop():
+        try:
+            q.put(("ok",) + _contact_retry_loop(time_left))
+        except Exception as e:
+            q.put(("err", e))
+
+    th = threading.Thread(target=loop, daemon=True)
+    th.start()
+    # an init that hasn't returned in 3 min will not return — detect fast
+    # and keep the budget for the probe/recover/measure phases
+    hang_wait = max(60.0, min(time_left() - 180.0, 180.0))
+    try:
+        res = q.get(timeout=hang_wait)
+    except queue.Empty:
+        _emit_provisional_outage(
+            f"backend init hung in-process for {hang_wait:.0f}s")
+        _recover_from_hang(time_left, hang_wait)   # re-execs or raises
+        raise AssertionError("unreachable")
+    if res[0] == "err":
+        raise res[1]
+    return res[1], res[2]
+
+
+def _emit_error_record(exc, note):
+    """Terminal failure before the primary measurement: the record must
+    still carry a JSON line (``parsed`` must never be null) documenting why.
+    """
+    import traceback
+
+    print(json.dumps({
+        "metric": "episodes/sec/chip (5w5s 8f eval)",
+        "value": None,
+        "unit": "episodes/s",
+        "vs_baseline": None,
+        "error": f"{type(exc).__name__}: {exc}"[:500],
+        "note": note,
+    }))
+    sys.stdout.flush()
+    traceback.print_exc(file=sys.stderr)
 
 
 def _warm_median(fn, args_list, inner, blocks=3):
@@ -326,6 +491,19 @@ def main():
 
     import dataclasses
 
+    # first device contact, retried: a transient tunnel outage must delay
+    # the bench, not erase the round's record (round-3 failure mode)
+    try:
+        _dev, n_attempts = _first_device_contact(time_left)
+    except Exception as e:
+        _emit_error_record(e, "TPU backend unavailable for the whole bench "
+                              "window (bounded retry exhausted); no "
+                              "throughput measured")
+        return
+    if n_attempts > 1:
+        print(f"[bench] backend up after {n_attempts} attempts",
+              file=sys.stderr)
+
     way, shot, queries, T, img = 5, 5, 1, 8, 224
     # BENCH_ARCH=RN50 benches the reference's other headline backbone (the
     # CLIP ModifiedResNet tower); chunking defaults are ViT-measured, so
@@ -425,13 +603,17 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)["value"]
-    else:
+    elif arch_name == "ViT-B/16":
+        # only the default backbone may seed the permanent baseline pin —
+        # an RN50-class number would poison every later ViT vs_baseline
         baseline = batched_eps_per_sec
         with open(baseline_path, "w") as f:
             json.dump({"metric": "episodes/sec/chip", "value": baseline,
                        "recorded": time.strftime("%Y-%m-%d"),
                        "note": "first measured value; reference publishes "
                                "no throughput numbers"}, f)
+    else:
+        baseline = None
 
     result = {
         "metric": f"episodes/sec/chip (5w5s 8f {arch_name} eval, batched "
@@ -448,6 +630,7 @@ def main():
     def emit():
         print(json.dumps(result))
         sys.stdout.flush()
+        _PRIMARY_EMITTED[0] = True
 
     emit()   # primary metric is now on record whatever happens below
 
@@ -592,4 +775,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - environment failures
+        if _PRIMARY_EMITTED[0]:
+            # a valid primary record is already on stdout — never shadow it
+            # with an error line (consumers take the last JSON line)
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+        else:
+            _emit_error_record(
+                e, "bench died before the primary measurement; see the "
+                   "stderr tail for the traceback")
+        sys.exit(1)

@@ -66,8 +66,9 @@ def verify_checkpoint_sha256(
             f"checkpoint integrity failure: {path} has SHA256 {got[:16]}..., "
             f"expected {expected[:16]}... for the official "
             f"{os.path.basename(path)} release — the file is corrupt or not "
-            "the OpenAI release. Re-download it, or rename the file / pass "
-            "verify=False if a custom checkpoint is intended.")
+            "the OpenAI release. Re-download it, or — if a custom "
+            "checkpoint is intended — rename the file, pass verify=False "
+            "(API), or set CLIPSPM_SKIP_WEIGHT_VERIFY=1 (CLI).")
     return True
 
 

@@ -109,12 +109,23 @@ class Learner:
                              f"bfloat16, got {accum!r}")
         self.accum_dtype = jnp.bfloat16 if accum == "bfloat16" else None
 
-        # The TrainState must OWN its buffers: the donated train step frees
-        # the input state's memory, so aliasing the caller's ``variables``
-        # (or the same text array twice — XLA rejects a buffer donated via
-        # two leaves with INVALID_ARGUMENT) would free arrays the caller
-        # still holds. jnp.array(copy=True) breaks every alias once at init.
+        # SOLVER.DONATE_STATE=true donates the TrainState into the step (see
+        # the jit construction below); resolved here because donation also
+        # dictates buffer ownership at init.
+        donate = bool(cfg.get("SOLVER", {}).get("DONATE_STATE", False))
+        self._donate = donate
+
+        # Under donation the TrainState must OWN its buffers: the donated
+        # train step frees the input state's memory, so aliasing the
+        # caller's ``variables`` (or the same text array twice — XLA rejects
+        # a buffer donated via two leaves with INVALID_ARGUMENT) would free
+        # arrays the caller still holds. jnp.array(copy=True) breaks every
+        # alias once at init. On the default non-donating path the copy is
+        # skipped — it would only double the transient host/device footprint
+        # of a large checkpoint (e.g. ViT-L/14) for no benefit.
         def _own(tree):
+            if not donate:
+                return tree
             return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
 
         params = _own(variables["params"])
@@ -137,19 +148,18 @@ class Learner:
             from ..parallel.tensor import shard_train_state
             self.state = shard_train_state(self.state, mesh)
 
-        # SOLVER.DONATE_STATE=true donates the TrainState into the step:
-        # XLA aliases the new params/Adam moments onto the old buffers
-        # (~3x params bytes of peak HBM). Callers never touch a pre-step
-        # state after stepping (train_episodes replaces self.state), and
-        # the state owns its buffers (_own above), so donation is safe by
-        # construction — but it ships DEFAULT OFF: measured
-        # throughput-neutral on v5e (3.475 vs 3.474 eps/s accumulated),
-        # and a long tunneled-TPU training run with donation enabled
-        # leaked ~1.4 G host RSS per step (the donated tree's size —
+        # Donation: XLA aliases the new params/Adam moments onto the old
+        # buffers (~3x params bytes of peak HBM). Callers never touch a
+        # pre-step state after stepping (train_episodes replaces
+        # self.state), and the state owns its buffers (_own above), so
+        # donation is safe by construction — but it ships DEFAULT OFF:
+        # measured throughput-neutral on v5e (3.475 vs 3.474 eps/s
+        # accumulated), and a long tunneled-TPU training run with donation
+        # enabled leaked ~1.4 G host RSS per step (the donated tree's size —
         # consistent with a backend that ignores the alias hint never
         # freeing the donation-marked inputs) until the host OOM'd at 93 G.
-        # Enable only after watching RSS over >=20 steps on your platform.
-        donate = bool(cfg.get("SOLVER", {}).get("DONATE_STATE", False))
+        # Enable only after watching RSS over >=20 steps on your platform
+        # (scripts/donation_check.py is the one-command gate).
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,) if donate else ())
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -324,6 +334,25 @@ class Learner:
 
     # -- public API --------------------------------------------------------------
 
+    def _step_state(self, batch: Episode):
+        """One optimizer step, replacing ``self.state``; returns device
+        metrics (unfetched). Under donation, a failure after dispatch may
+        already have consumed the old state's buffers — surface that
+        explicitly instead of leaving later calls to die with opaque
+        deleted-buffer errors."""
+        try:
+            self.state, metrics = self._train_step(self.state, batch)
+            return metrics
+        except Exception as e:
+            if self._donate:
+                raise RuntimeError(
+                    "train step failed with SOLVER.DONATE_STATE=true — the "
+                    "TrainState was donated and its buffers may already be "
+                    "freed; this Learner cannot continue. Restart from the "
+                    "last checkpoint (or rerun with SOLVER.DONATE_STATE="
+                    "false)") from e
+            raise
+
     def train_episodes(self, episodes) -> Dict[str, float]:
         """Consume a list/batch of episodes as one optimizer step."""
         from ..data.episode import stack_episodes
@@ -333,7 +362,7 @@ class Learner:
         else:
             # stack on host, transfer once (see data/episode.py)
             batch = _device_episode(stack_episodes(episodes))
-        self.state, metrics = self._train_step(self.state, batch)
+        metrics = self._step_state(batch)
         return {k: float(v) for k, v in metrics.items()}
 
     def evaluate(self, n_episodes: int,
@@ -405,6 +434,11 @@ class Learner:
             metrics=None, eval_batch_size: int = 1) -> Dict[str, float]:
         """Training loop with periodic eval/checkpoints
         (reference: run/main_run.py:179-243)."""
+        import concurrent.futures as _cf
+        import os as _os
+
+        from ..data.episode import stack_episodes
+
         cfg = self.cfg
         total = train_episodes or int(cfg.TRAIN.TRAIN_EPISODES)
         val_freq = val_freq or int(cfg.TRAIN.VAL_FREQ)
@@ -419,65 +453,105 @@ class Learner:
         episode = int(self.state.episode)
         # opt-in jax.profiler trace of one optimizer step (SURVEY §5:
         # tracing as first-class; the reference has no profiling story)
-        import os as _os
-
         profile_dir = _os.environ.get("CLIPSPM_PROFILE_DIR")
         profiled = False
-        while episode < total:
-            batch = [next(it) for _ in range(min(tpb, total - episode))]
-            if len(batch) < tpb:
-                # keep static shapes: pad the final partial batch
-                batch = batch + [batch[-1]] * (tpb - len(batch))
-            if profile_dir and not profiled and episode > 0:
-                from ..utils.metrics import profile_trace
 
-                with profile_trace(profile_dir):
-                    m = self.train_episodes(batch)
-                profiled = True
-                self.log(f"profiler trace written to {profile_dir}")
-                episode = int(self.state.episode)
-                window_loss.append(m["loss"]); window_acc.append(m["acc"])
-                continue
-            m = self.train_episodes(batch)
-            episode = int(self.state.episode)
+        # Pipelined loop (the reference stages and steps strictly serially,
+        # run/main_run.py:193-210; the round-3 production convergence run
+        # measured that serialization at ~0.2 eps/s wall against a 3.5 eps/s
+        # chip). A single staging thread assembles + stacks + H2D-transfers
+        # batch i+1 while the device executes the step on batch i (through
+        # the tunnel device_put is host-blocking, so without the thread the
+        # host path serializes with the step); metric fetches — the true
+        # sync — are deferred one step (depth-1 pipeline) except at
+        # print/val/checkpoint boundaries.
+        def _stage(n):
+            eps = [next(it) for _ in range(n)]
+            if len(eps) < tpb:
+                # keep static shapes: pad the final partial batch
+                eps = eps + [eps[-1]] * (tpb - len(eps))
+            return _device_episode(stack_episodes(eps))
+
+        def _harvest(p):
+            dm, ep = p
+            m = {k: float(v) for k, v in dm.items()}
             window_loss.append(m["loss"])
             window_acc.append(m["acc"])
             if metrics is not None:
                 metrics.scalars({"loss/Train_loss[it]": m["loss"],
-                                 "acc/Train_acc[it]": m["acc"]}, episode)
+                                 "acc/Train_acc[it]": m["acc"]}, ep)
 
-            if episode % print_freq < tpb:
-                from ..utils.metrics import host_rss_gb
+        stager = _cf.ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="clipspm-stage")
+        pending = None
+        try:
+            fut = stager.submit(_stage, min(tpb, total - episode))
+            while episode < total:
+                batch = fut.result()
+                nxt = episode + tpb
+                if nxt < total:
+                    fut = stager.submit(_stage, min(tpb, total - nxt))
+                if profile_dir and not profiled and episode > 0:
+                    from ..utils.metrics import profile_trace
 
-                rss = host_rss_gb()
-                self.log(f"Task [{episode}/{total}], Train Loss: "
-                         f"{np.mean(window_loss):.7f}, Train Accuracy: "
-                         f"{np.mean(window_acc):.7f}, RSS: {rss:.1f}G")
-                if metrics is not None:
-                    metrics.scalars(
-                        {"loss/Train_loss[mean]": float(np.mean(window_loss)),
-                         "acc/Train_acc[mean]": float(np.mean(window_acc)),
-                         "sys/host_rss_gb": rss},
-                        episode // print_freq)
-                window_loss, window_acc = [], []
+                    with profile_trace(profile_dir):
+                        dm = self.train_episodes(batch)  # sync, floats
+                    profiled = True
+                    self.log(f"profiler trace written to {profile_dir}")
+                else:
+                    dm = self._step_state(batch)
+                episode = nxt
+                if pending is not None:
+                    _harvest(pending)
+                pending = (dm, episode)
 
-            if save_freq and periodic_checkpoint_fn \
-                    and episode % save_freq < tpb and episode < total:
-                periodic_checkpoint_fn(episode)
+                at_print = episode % print_freq < tpb
+                at_save = (save_freq and periodic_checkpoint_fn
+                           and episode % save_freq < tpb and episode < total)
+                at_val = (val_freq and episode % val_freq < tpb
+                          and episode < total)
+                if at_print or at_save or at_val or episode >= total:
+                    _harvest(pending)
+                    pending = None
 
-            if val_freq and episode % val_freq < tpb and episode < total:
-                res = self.evaluate(test_eps, batch_size=eval_batch_size)
-                self.log(f"Val @ {episode}: acc {res['accuracy']:.2f} "
-                         f"+/- {res['confidence']:.2f}")
-                if res["accuracy"] > best_acc:
-                    best_acc = res["accuracy"]
-                    if checkpoint_fn:
-                        checkpoint_fn(episode, best_acc)
-                if metrics is not None:
-                    metrics.scalars(
-                        {"loss/Test_loss": res["loss"],
-                         "acc/Test_acc": res["accuracy"],
-                         "acc/Best_acc": best_acc}, episode // val_freq)
+                if at_print:
+                    from ..utils.metrics import host_rss_gb
+
+                    rss = host_rss_gb()
+                    self.log(f"Task [{episode}/{total}], Train Loss: "
+                             f"{np.mean(window_loss):.7f}, Train Accuracy: "
+                             f"{np.mean(window_acc):.7f}, RSS: {rss:.1f}G")
+                    if metrics is not None:
+                        metrics.scalars(
+                            {"loss/Train_loss[mean]":
+                                 float(np.mean(window_loss)),
+                             "acc/Train_acc[mean]":
+                                 float(np.mean(window_acc)),
+                             "sys/host_rss_gb": rss},
+                            episode // print_freq)
+                    window_loss, window_acc = [], []
+
+                if at_save:
+                    periodic_checkpoint_fn(episode)
+
+                if at_val:
+                    res = self.evaluate(test_eps,
+                                        batch_size=eval_batch_size)
+                    self.log(f"Val @ {episode}: acc {res['accuracy']:.2f} "
+                             f"+/- {res['confidence']:.2f}")
+                    if res["accuracy"] > best_acc:
+                        best_acc = res["accuracy"]
+                        if checkpoint_fn:
+                            checkpoint_fn(episode, best_acc)
+                    if metrics is not None:
+                        metrics.scalars(
+                            {"loss/Test_loss": res["loss"],
+                             "acc/Test_acc": res["accuracy"],
+                             "acc/Best_acc": best_acc}, episode // val_freq)
+            if pending is not None:
+                _harvest(pending)
+        finally:
+            stager.shutdown(wait=False, cancel_futures=True)
         # The reference never evaluates or saves after its loop (val/save
         # are skipped at the final iteration, run/main_run.py:225-241), so
         # VAL_FREQ >= TRAIN_EPISODES would silently discard ALL progress.
