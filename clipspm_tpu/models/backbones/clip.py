@@ -323,9 +323,16 @@ class ResidualAttentionBlock(nn.Module):
             attn = e / e.sum(-1, keepdims=True)
         else:
             attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+        # named checkpoints for the "attn" remat policy (visual.py
+        # encode_chunked): identity tags, free unless a
+        # save_only_these_names policy is active
+        from jax.ad_checkpoint import checkpoint_name
+
+        attn = checkpoint_name(attn, "attn_probs")
         out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
                                                 self.d_model)
+        out = checkpoint_name(out, "attn_out")
         out = Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
         x = x + out
 

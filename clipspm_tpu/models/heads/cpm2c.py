@@ -68,7 +68,7 @@ class CPM2CModel(nn.Module):
     encode_chunk: int = 0
     # remat-chunked training encode (ViT only; see visual.encode_chunked)
     train_encode_chunk: int = 0   # 0=off, True/1=eval width, >1=width
-    train_remat_policy: str = "full"  # "full" | "dots" (visual.encode_chunked)
+    train_remat_policy: str = "full"  # "full"|"dots"|"attn"|"attn_out" (visual.encode_chunked)
     # OTAM DP backend: "scan" or "pallas" (config key MODEL.OTAM_BACKEND)
     otam_backend: str = "scan"
 

@@ -59,6 +59,17 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
       chunk-width-INDEPENDENT — measured RESOURCE_EXHAUSTED on a 15.75 G
       v5e at widths 16/24/30/40 even with state donation; use on >=32 G
       parts).
+    - "attn": ``save_only_these_names("attn_probs", "attn_out")`` — keeps
+      only the post-softmax attention probabilities and the attention
+      output (the ``checkpoint_name`` tags in
+      backbones/clip.py:ResidualAttentionBlock). The backward then skips
+      re-doing the memory-bound attention chain (qk^T scores + softmax —
+      the slice the train profile blames) and recomputes only the
+      MXU-friendly projection/MLP dots. ViT-B/16 240-frame step: ~3.5 G
+      extra (probs 2.7 G + out 0.9 G, chunk-width-independent) vs the
+      dots policy's 7.9 G.
+    - "attn_out": saves only the attention outputs (~0.9 G) — the minimal
+      variant if "attn" does not fit.
     """
     N = frames.shape[0]
     if train:
@@ -79,7 +90,11 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
 
         policies = {"full": None,
                     "dots": jax.checkpoint_policies
-                    .dots_with_no_batch_dims_saveable}
+                    .dots_with_no_batch_dims_saveable,
+                    "attn": jax.checkpoint_policies
+                    .save_only_these_names("attn_probs", "attn_out"),
+                    "attn_out": jax.checkpoint_policies
+                    .save_only_these_names("attn_out")}
         if remat_policy not in policies:
             raise ValueError(
                 f"unknown remat_policy {remat_policy!r}; "
