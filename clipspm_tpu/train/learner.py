@@ -376,6 +376,8 @@ class Learner:
         """
         from ..data.episode import stack_episodes
 
+        import concurrent.futures as _cf
+
         source = source or self.test_source
         dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
         if batch_size > 1 and batch_size % dp:
@@ -385,39 +387,54 @@ class Learner:
             batch_size += dp - batch_size % dp
         accs, losses = [], []
         it = iter(source)
-        done = 0
-        # depth-1 pipeline: results of step i are fetched only after step
-        # i+1 has been dispatched, so host-side episode staging (sampling,
-        # stacking, H2D copies) overlaps device compute instead of
-        # serializing with it.
+        # Depth-1 pipeline + staging thread: results of step i are fetched
+        # only after step i+1 has been dispatched, and host-side episode
+        # staging (sampling, stacking, H2D copies — host-blocking through a
+        # tunneled backend) runs on its own thread, so it overlaps the
+        # device compute AND the result fetch instead of serializing with
+        # them.
         pending = None
+
+        def _stage(n):
+            if batch_size > 1:
+                eps = [next(it) for _ in range(n)]
+                if n < batch_size:  # keep shapes static
+                    eps += [eps[-1]] * (batch_size - n)
+                # stack on host, transfer once (see data/episode.py)
+                return _device_episode(stack_episodes(eps))
+            return _device_episode(next(it))
 
         def _harvest(p):
             m, n = p
             accs.extend(np.asarray(m["acc"])[:n].tolist())
             losses.extend(np.asarray(m["loss"])[:n].tolist())
 
-        while done < n_episodes:
-            if batch_size > 1:
-                n = min(batch_size, n_episodes - done)
-                eps = [next(it) for _ in range(n)]
-                if n < batch_size:  # keep shapes static
-                    eps += [eps[-1]] * (batch_size - n)
-                # stack on host, transfer once (see data/episode.py)
-                m = self._eval_batch(self.state,
-                                     _device_episode(stack_episodes(eps)))
+        stager = _cf.ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="clipspm-eval")
+        try:
+            done = 0
+            n = min(batch_size, n_episodes)
+            fut = stager.submit(_stage, n) if n > 0 else None
+            while done < n_episodes:
+                staged = fut.result()
                 done += n
-            else:
-                n = 1
-                ep = _device_episode(next(it))
-                m = self._eval_step(self.state, ep)
-                m = {"acc": m["acc"][None], "loss": m["loss"][None]}
-                done += 1
+                n_next = min(batch_size, n_episodes - done)
+                if n_next > 0:
+                    nxt_fut = stager.submit(_stage, n_next)
+                if batch_size > 1:
+                    m = self._eval_batch(self.state, staged)
+                else:
+                    m = self._eval_step(self.state, staged)
+                    m = {"acc": m["acc"][None], "loss": m["loss"][None]}
+                if pending is not None:
+                    _harvest(pending)
+                pending = (m, n)
+                if n_next > 0:
+                    fut, n = nxt_fut, n_next
             if pending is not None:
                 _harvest(pending)
-            pending = (m, n)
-        if pending is not None:
-            _harvest(pending)
+        finally:
+            stager.shutdown(wait=False, cancel_futures=True)
         accs_arr = np.asarray(accs)
         return {
             "accuracy": float(accs_arr.mean() * 100.0),
@@ -484,10 +501,19 @@ class Learner:
         stager = _cf.ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="clipspm-stage")
         pending = None
+        # host-stall decomposition: time the main thread spends BLOCKED on
+        # batch staging (decode+stack+H2D not hidden behind the device
+        # step) vs total wall — printed per window so a host-bound run is
+        # visible in the log, not inferred from a postmortem
+        import time as _time
+
+        stall_s, window_t0 = 0.0, _time.perf_counter()
         try:
             fut = stager.submit(_stage, min(tpb, total - episode))
             while episode < total:
+                t_w = _time.perf_counter()
                 batch = fut.result()
+                stall_s += _time.perf_counter() - t_w
                 nxt = episode + tpb
                 if nxt < total:
                     fut = stager.submit(_stage, min(tpb, total - nxt))
@@ -518,18 +544,24 @@ class Learner:
                     from ..utils.metrics import host_rss_gb
 
                     rss = host_rss_gb()
+                    wall = _time.perf_counter() - window_t0
+                    stall_pct = 100.0 * stall_s / max(wall, 1e-9)
                     self.log(f"Task [{episode}/{total}], Train Loss: "
                              f"{np.mean(window_loss):.7f}, Train Accuracy: "
-                             f"{np.mean(window_acc):.7f}, RSS: {rss:.1f}G")
+                             f"{np.mean(window_acc):.7f}, RSS: {rss:.1f}G, "
+                             f"{wall / max(len(window_loss), 1) / tpb:.3f}"
+                             f"s/ep (host-stall {stall_pct:.0f}%)")
                     if metrics is not None:
                         metrics.scalars(
                             {"loss/Train_loss[mean]":
                                  float(np.mean(window_loss)),
                              "acc/Train_acc[mean]":
                                  float(np.mean(window_acc)),
-                             "sys/host_rss_gb": rss},
+                             "sys/host_rss_gb": rss,
+                             "sys/host_stall_pct": stall_pct},
                             episode // print_freq)
                     window_loss, window_acc = [], []
+                    stall_s, window_t0 = 0.0, _time.perf_counter()
 
                 if at_save:
                     periodic_checkpoint_fn(episode)
