@@ -44,7 +44,9 @@ asymptote — 17.34/17.43/17.48 eps/s at E=32/48/64); ``BENCH_TRAIN_ACCUM``
 the accumulated-step episode count (default 16); ``BENCH_ARCH`` the CLIP
 backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower);
 ``BENCH_SINGLE=0`` / ``BENCH_INT8=0`` / ``BENCH_RN50=0`` skip those extra
-eval stages; ``BENCH_DEADLINE_S`` the wall-clock budget (0 = no deadline).
+eval stages; ``BENCH_TRAIN_SINGLE=0`` skips the per-episode train stage
+(keeps A/B sweeps of the accumulated step to one backward compile);
+``BENCH_DEADLINE_S`` the wall-clock budget (0 = no deadline).
 """
 
 import json
@@ -524,10 +526,13 @@ def main():
     # change RN50 training semantics.
     train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK",
                                      "40" if is_vit else "0"))
-    # BENCH_REMAT=dots saves projection/MLP dot outputs across train-encode
-    # chunks (backward recomputes only elementwise+attention; ~7.9 G extra
-    # HBM at the 240-frame step) — see visual.encode_chunked
-    remat = os.environ.get("BENCH_REMAT", "full")
+    # BENCH_REMAT picks the backward recompute policy for the chunked train
+    # encode (see visual.encode_chunked). Default "attn_out" = production
+    # default: saves the per-chunk attention outputs (~0.9 G) so the
+    # backward skips the memory-bound qk^T+softmax recompute — measured
+    # 3.744 vs 3.475 eps/s (+7.7%) over "full" at this step; "dots"
+    # (~7.9 G) and "attn" at chunk>=80 OOM a 15.75 G v5e.
+    remat = os.environ.get("BENCH_REMAT", "attn_out" if is_vit else "full")
     model = CLIPSPMModel(arch=arch, way=way, shot=shot,
                          spm=SPM_DEFAULT_PARAMS["hmdb"], dtype=jnp.bfloat16,
                          encode_chunk=chunk, train_encode_chunk=train_chunk,
@@ -675,7 +680,8 @@ def main():
                 extras["train_accum_bench_error"] = (
                     f"{type(e).__name__}: {e}"[:200])
             emit()
-        if stage_fits("train_single", 360):
+        if os.environ.get("BENCH_TRAIN_SINGLE", "1") == "1" and stage_fits(
+                "train_single", 360):
             try:
                 train_eps, compile_s = _bench_train(
                     jax, jnp, model, variables, episodes, n_staged, text,

@@ -26,6 +26,16 @@ def test_full_vit_defaults_on():
     m = build_model(_cfg("ViT-B/16"))
     assert m.encode_chunk == 30          # eval-measured optimum
     assert m.train_encode_chunk == 40    # train-measured optimum
+    # attn_out remat: +7.7% accumulated-train throughput over "full",
+    # numerics identical (test_train_encode_chunk.py)
+    assert m.train_remat_policy == "attn_out"
+
+
+def test_remat_policy_override_wins():
+    m = build_model(_cfg("ViT-B/16", TRAIN_REMAT_POLICY="full"))
+    assert m.train_remat_policy == "full"
+    m = build_model(_cfg("ViT-B/16", TRAIN_REMAT_POLICY="dots"))
+    assert m.train_remat_policy == "dots"
 
 
 def test_rn50_defaults_off():

@@ -293,9 +293,13 @@ def test_train_state_owns_its_buffers():
     Learner must never alias caller-held arrays into the TrainState
     (learner.py: _own) — in particular text_train/text_test built from ONE
     array would otherwise donate the same buffer via two leaves, which XLA
-    rejects with INVALID_ARGUMENT on real devices."""
+    rejects with INVALID_ARGUMENT on real devices. Ownership is only
+    required — and only paid for — under SOLVER.DONATE_STATE=true; the
+    default non-donating path aliases freely (the jitted step never
+    mutates its inputs)."""
     arch = CLIP_ARCHS["test-tiny"]
     cfg = _cfg(tpb=2)
+    cfg.SOLVER.DONATE_STATE = True
     model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT, spm=dict(cfg.params))
     S, Q, D = WAY * SHOT, WAY * QUERIES, arch.embed_dim
     dummy = (
