@@ -401,11 +401,13 @@ def bench_e2e(quick: bool):
     it = iter(loader)
 
     def next_batch():
+        from clipspm_tpu.train.learner import device_put_chunked
+
         eps = [next(it) for _ in range(E)]
         b = stack_episodes(eps)
-        return tuple(jnp.asarray(x) for x in (
-            b.support_images, b.target_images, b.support_labels,
-            b.real_support_labels, b.real_target_labels))
+        return device_put_chunked(tuple(
+            (b.support_images, b.target_images, b.support_labels,
+             b.real_support_labels, b.real_target_labels)))
 
     # host-side decomposition: loader-only rate and tunnel H2D bandwidth
     # (on real TPU-VM hosts H2D is PCIe-speed; through the axon tunnel it is

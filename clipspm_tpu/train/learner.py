@@ -18,7 +18,9 @@ Fresh TPU-native design of the reference ``Learner``
 
 from __future__ import annotations
 
+import concurrent.futures as _cf
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
@@ -376,7 +378,6 @@ class Learner:
         """
         from ..data.episode import stack_episodes
 
-        import concurrent.futures as _cf
 
         source = source or self.test_source
         dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
@@ -451,7 +452,6 @@ class Learner:
             metrics=None, eval_batch_size: int = 1) -> Dict[str, float]:
         """Training loop with periodic eval/checkpoints
         (reference: run/main_run.py:179-243)."""
-        import concurrent.futures as _cf
         import os as _os
 
         from ..data.episode import stack_episodes
@@ -596,5 +596,49 @@ class Learner:
         return {"best_accuracy": best_acc, "episodes": episode}
 
 
+_H2D_POOL = None
+# Through a tunneled backend a single device_put stream tops out ~50 MB/s
+# while 4 concurrent streams reach ~62 MB/s aggregate (measured v5e via
+# axon, 47-188 MB uint8 payloads); episode frame tensors are 10s of MB
+# each, so large leaves are split along their leading axis, transferred on
+# CLIPSPM_H2D_STREAMS threads, and concatenated on-device. Bytes and
+# results are identical to a single transfer (tests/test_h2d_chunked.py).
+# 0 or 1 disables chunking (the plain jnp.asarray path).
+_H2D_STREAMS = int(os.environ.get("CLIPSPM_H2D_STREAMS", "4") or "0")
+_H2D_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _h2d_pool() -> "_cf.ThreadPoolExecutor":
+    global _H2D_POOL
+    if _H2D_POOL is None:
+        _H2D_POOL = _cf.ThreadPoolExecutor(
+            max_workers=_H2D_STREAMS, thread_name_prefix="clipspm-h2d")
+    return _H2D_POOL
+
+
+def device_put_chunked(tree):
+    """Move a pytree of host arrays to the device, large leaves over
+    parallel streams.
+
+    The reference moves batches with a blocking ``.cuda()`` per tensor
+    (run/main_run.py:296-318); here the big frame tensors additionally go
+    over parallel streams when that pays (tunneled backends — see
+    ``_H2D_STREAMS`` above)."""
+    streams = _H2D_STREAMS
+    if streams <= 1:
+        return jax.tree.map(jnp.asarray, tree)
+
+    def _put(x):
+        n = getattr(x, "nbytes", 0)
+        if (n < _H2D_MIN_BYTES or not isinstance(x, np.ndarray)
+                or x.shape[0] < streams):
+            return jnp.asarray(x)
+        chunks = np.array_split(x, streams)
+        futs = [_h2d_pool().submit(jax.device_put, c) for c in chunks]
+        return jnp.concatenate([f.result() for f in futs])
+
+    return jax.tree.map(_put, tree)
+
+
 def _device_episode(e: Episode) -> Episode:
-    return jax.tree.map(jnp.asarray, e)
+    return device_put_chunked(e)
