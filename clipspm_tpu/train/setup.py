@@ -116,6 +116,23 @@ def init_model_variables(cfg, model, rng: jax.Array) -> dict:
     return model.init(rng, *dummy)
 
 
+def loader_prefetch(cfg, train: bool) -> int:
+    """Prefetch-queue depth for a train/eval EpisodeLoader.
+
+    At least one full consumer batch (TASKS_PER_BATCH for training,
+    TEST.EVAL_BATCH for eval): the staging thread drains a whole batch at
+    once, so a shallower queue makes it block on per-episode decode for the
+    tail of every batch instead of overlapping decode with the H2D
+    transfer. DATA.PREFETCH overrides (each prefetched episode is 10s of MB
+    of host RAM at production geometry)."""
+    explicit = int(cfg.DATA.get("PREFETCH", 0) or 0)
+    if explicit:
+        return explicit
+    batch = int(cfg.TRAIN.TASKS_PER_BATCH) if train else \
+        int(cfg.TEST.get("EVAL_BATCH", 1) or 1)
+    return max(4, batch)
+
+
 class DegradedModeError(RuntimeError):
     """A CLIP head would run with meaningless weights/vocab.
 
@@ -201,7 +218,8 @@ def build_learner(cfg, log_fn=print,
             catalog, way=int(cfg.TRAIN.WAY), shot=int(cfg.TRAIN.SHOT),
             queries=queries, seq_len=seq_len, train=train,
             seed=int(cfg.MODEL.SEED) + (0 if train else 1))
-        return EpisodeLoader(sampler, num_workers=num_workers)
+        return EpisodeLoader(sampler, num_workers=num_workers,
+                             prefetch=loader_prefetch(cfg, train))
 
     test_loader = make_loader("test", False, int(cfg.TEST.QUERY_PER_CLASS))
     train_loader = None if only_test else make_loader(
