@@ -18,9 +18,19 @@ Usage:
     python scripts/donation_repro.py --mb 1024 --steps 12
     python scripts/donation_repro.py --no-donate     # control arm A
     python scripts/donation_repro.py --cpu           # control arm B (local)
+    python scripts/donation_repro.py --h2d           # arm C: fresh H2D/step
 
 Expected on a healthy platform: "gb_per_step" ~0 in every arm.
 Leak signature: gb_per_step ~= tree size with donation on, ~0 with it off.
+
+Arm C (``--h2d``) probes a second, independent leak the donation arms
+cannot see: each step transfers a FRESH host array to the device (the
+shape of a training loop staging a new episode batch every step — no
+donation anywhere), consumes it, and drops every reference. A healthy
+runtime frees both the host staging copy and the device buffer; the
+tunneled backend observed during clipspm_tpu's production convergence
+runs grew host RSS by ~the transferred bytes per step (donation OFF),
+which this arm isolates without any model code.
 """
 
 from __future__ import annotations
@@ -48,6 +58,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="pin the local CPU backend (donation is honored "
                         "there; expect a flat RSS)")
+    p.add_argument("--h2d", action="store_true",
+                   help="arm C: no donation at all — device_put a fresh "
+                        "host array every step and drop it (isolates a "
+                        "transfer-staging leak)")
     args = p.parse_args(argv)
 
     import jax
@@ -55,6 +69,40 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.h2d:
+        import numpy as np
+
+        nbytes = args.mb << 20
+        host = np.random.randint(0, 255, (args.mb, 1 << 20), np.uint8)
+        reduce_fn = jax.jit(lambda x: x[::4096, ::4096].astype(jnp.float32)
+                            .sum())
+        d = jax.device_put(host)            # warm transfer + compile
+        float(reduce_fn(d)); del d
+        r0, t0 = rss_gb(), time.perf_counter()
+        print(json.dumps({"device": str(jax.devices()[0]), "arm": "h2d",
+                          "transfer_gb": round(nbytes / 1e9, 3),
+                          "steps": args.steps}), flush=True)
+        for i in range(args.steps):
+            host[i % args.mb, 0] ^= 1       # defeat any content dedup
+            d = jax.device_put(host)
+            float(reduce_fn(d))             # sync: transfer fully consumed
+            del d
+            print(json.dumps({"step": i + 1,
+                              "rss_gb": round(rss_gb(), 3)}), flush=True)
+        wall = time.perf_counter() - t0
+        r1 = rss_gb()
+        gb_per_step = (r1 - r0) / args.steps
+        print(json.dumps({
+            "arm": "h2d", "rss_start_gb": round(r0, 3),
+            "rss_end_gb": round(r1, 3),
+            "gb_per_step": round(gb_per_step, 4),
+            "s_per_step": round(wall / args.steps, 4),
+            "verdict": ("LEAK: per-step RSS growth ~ transferred bytes"
+                        if gb_per_step > max(0.05, 0.5 * nbytes / 1e9)
+                        else "flat: H2D staging is freed on this platform"),
+        }), flush=True)
+        return
 
     donate = not args.no_donate
     # a handful of leaves so the aliasing path matches a real params tree,
