@@ -344,7 +344,9 @@ def bench_e2e(quick: bool):
     native decoder + device transform + encode (reference eval loop:
     run/main_run.py:256-293 + video_reader.py:233-273). Reports eps/s
     *including* host I/O, so loader/compute overlap is a measured number."""
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    from clipspm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import dataclasses
 
     import jax
@@ -476,7 +478,11 @@ def main():
     quick = "--quick" in sys.argv
     if "--e2e" in sys.argv:
         return bench_e2e(quick)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # per-host cache path: a foreign host's CPU AOT artifacts under a shared
+    # path poison every compile (clipspm_tpu/utils/cache.py)
+    from clipspm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
 

@@ -128,7 +128,9 @@ def main(argv=None):
         os.environ.setdefault("CLIPSPM_PLATFORM", "cpu")
         args.arch, args.img, args.seq_len = "test-tiny", 32, 2
         args.steps = min(args.steps, 6)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    from clipspm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     platform = os.environ.get("CLIPSPM_PLATFORM")

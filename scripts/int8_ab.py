@@ -48,7 +48,9 @@ def main(argv=None):
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args(argv)
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    from clipspm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.smoke:
         os.environ.setdefault("CLIPSPM_PLATFORM", "cpu")
     import jax

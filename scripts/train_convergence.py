@@ -37,7 +37,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def sh(args, env=None):
     e = dict(os.environ)
-    e.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from clipspm_tpu.utils.cache import compilation_cache_dir
+
+    e.setdefault("JAX_COMPILATION_CACHE_DIR", compilation_cache_dir())
     if env:
         e.update(env)
     p = subprocess.run([sys.executable, "-m", "clipspm_tpu.cli.run"] + args,

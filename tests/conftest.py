@@ -20,5 +20,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # compile times dominate on shared CPU runners; persist compiled executables
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# per-host cache path: a foreign host's CPU AOT artifacts under a shared
+# path poison every compile (clipspm_tpu/utils/cache.py)
+from clipspm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
