@@ -91,8 +91,18 @@ def main(argv=None):
             # produce plausible-looking training-free numbers)
             log(f"WARNING: no 'best' checkpoint under {ckpt_dir} — "
                 "evaluating the FRESH (untrained) model")
-        res = learner.evaluate(int(cfg.TEST.TEST_EPISODES),
-                               batch_size=eval_batch)
+        if cfg.TEST.get("CACHE_FEATURES", False):
+            # unique-video feature cache: encode each test video once, run
+            # the head over gathered features (train/feature_cache.py) —
+            # same episode stream and metrics as the uncached path
+            from clipspm_tpu.train.feature_cache import evaluate_cached
+
+            if learner.test_source is not None:
+                learner.test_source.close()   # its prefetch is unused here
+            res = evaluate_cached(cfg, learner, log_fn=log)
+        else:
+            res = learner.evaluate(int(cfg.TEST.TEST_EPISODES),
+                                   batch_size=eval_batch)
         log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "
             f"+/- {res['confidence']:.2f} (loss {res['loss']:.4f})")
         metrics.scalars({f"TEST/{cfg.DATA.DATASET}_acc": res["accuracy"],

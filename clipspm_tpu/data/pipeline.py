@@ -45,34 +45,42 @@ def probe_frame_size(catalog: SplitCatalog) -> Optional[tuple]:
     return None
 
 
-def decode_plan(plan: EpisodePlan, catalog: SplitCatalog,
-                pool: Optional[cf.ThreadPoolExecutor] = None,
-                frame_size: Optional[tuple] = None,
-                native_threads: int = 8) -> Episode:
-    """Decode every frame of an episode plan into a uint8 Episode.
+def decode_path_lists(path_lists: List[List[str]],
+                      pool: Optional[cf.ThreadPoolExecutor] = None,
+                      frame_size: Optional[tuple] = None,
+                      native_threads: int = 8) -> np.ndarray:
+    """Decode ``[clips][t]`` frame paths into a uint8 ``[N, t, H, W, 3]``.
 
     With ``frame_size`` (the benchmark dumps are uniform 256x256), the whole
     frame list goes through the native C++ batch decoder
     (data/native_decode.py); otherwise per-frame PIL in the thread pool.
     """
+    flat = [p for clip in path_lists for p in clip]
+    t = len(path_lists[0])
+    if frame_size is not None:
+        from .native_decode import decode_frames
+
+        arr = decode_frames(flat, frame_size[0], frame_size[1],
+                            n_threads=native_threads)
+        return arr.reshape((len(path_lists), t) + arr.shape[1:])
+    if pool is not None:
+        frames = list(pool.map(_decode_image, flat))
+    else:
+        frames = [_decode_image(p) for p in flat]
+    arr = np.stack(frames)
+    return arr.reshape((len(path_lists), t) + arr.shape[1:])
+
+
+def decode_plan(plan: EpisodePlan, catalog: SplitCatalog,
+                pool: Optional[cf.ThreadPoolExecutor] = None,
+                frame_size: Optional[tuple] = None,
+                native_threads: int = 8) -> Episode:
+    """Decode every frame of an episode plan into a uint8 Episode."""
     sup_paths = plan.frame_paths(catalog, "support")
     tgt_paths = plan.frame_paths(catalog, "target")
 
     def decode_clips(path_lists: List[List[str]]) -> np.ndarray:
-        flat = [p for clip in path_lists for p in clip]
-        t = len(path_lists[0])
-        if frame_size is not None:
-            from .native_decode import decode_frames
-
-            arr = decode_frames(flat, frame_size[0], frame_size[1],
-                                n_threads=native_threads)
-            return arr.reshape((len(path_lists), t) + arr.shape[1:])
-        if pool is not None:
-            frames = list(pool.map(_decode_image, flat))
-        else:
-            frames = [_decode_image(p) for p in flat]
-        arr = np.stack(frames)
-        return arr.reshape((len(path_lists), t) + arr.shape[1:])
+        return decode_path_lists(path_lists, pool, frame_size, native_threads)
 
     return Episode(
         support_images=decode_clips(sup_paths),

@@ -82,6 +82,36 @@ class CLIPSPMModel(nn.Module):
         dim = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, dim)
         qu = feats[S * T:].reshape(Q, T, dim)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
+
+    def feature_cacheable(self) -> bool:
+        """Per-video features fully determine this head's inputs
+        (train/feature_cache.py)."""
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` frames -> ``[N, T, D]`` per-frame features.
+
+        The cacheable pixel->feature stage of :meth:`__call__`; at eval the
+        transform + frame-index policy is deterministic per video, so these
+        features can be computed once per unique video and reused across
+        episodes (train/feature_cache.py)."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        feats = encode_chunked(self.backbone, flat, self.encode_chunk,
+                               train=train,
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
+        return feats.reshape(N, T, feats.shape[-1])
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels, real_target_labels,
+                       text_train, text_test, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed features ``su [S,T,D]`` / ``qu [Q,T,D]``
+        (the post-encode tail of :meth:`__call__`)."""
         table = text_train if train else text_test
         context_support = table[real_support_labels][:, None, :]
         target_context = table[real_target_labels][:, None, :]

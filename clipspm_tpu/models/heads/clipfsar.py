@@ -120,8 +120,31 @@ class CLIPFSARModel(nn.Module):
                  real_support_labels, real_target_labels,
                  text_train, text_test, *,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        det = not train
         su, qu = self._encode(support_images, target_images, train)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
+
+    def feature_cacheable(self) -> bool:
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` -> ``[N, T, D]`` (train/feature_cache.py)."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        feats = encode_chunked(self.backbone, flat, self.encode_chunk,
+                               train=train,
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
+        return feats.reshape(N, T, feats.shape[-1])
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels, real_target_labels,
+                       text_train, text_test, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed features (post-encode tail of
+        :meth:`__call__`)."""
+        det = not train
         table = text_train if train else text_test
         context = table[real_support_labels][:, None, :].astype(self.dtype)
         class_logits = self._class_logits(su, qu, text_train)

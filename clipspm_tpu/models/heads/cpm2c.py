@@ -244,7 +244,39 @@ class CPM2CModel(nn.Module):
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
 
+    def feature_cacheable(self) -> bool:
+        """Visual prompts are applied to PIXELS with role-dependent ratios
+        (``support_prompt_ratio`` vs ``target_prompt_ratio``, reference:
+        models/model_cpm2c.py:474-492), so with them active one video's
+        features differ by role and cannot be cached per-video."""
+        return not self.use_visual_prompts
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` -> ``[N, T, D]`` (train/feature_cache.py)."""
+        if self.use_visual_prompts:
+            raise ValueError(
+                "cpm2c with MODEL.USE_VISUAL_PROMPTS applies role-dependent "
+                "pixel prompts before the backbone — per-video features are "
+                "not cacheable (see feature_cacheable)")
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        feats = encode_chunked(self.backbone, flat, self.encode_chunk,
+                               train=train,
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
+        return feats.reshape(N, T, feats.shape[-1])
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels, real_target_labels,
+                       text_train, text_test, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed features (post-encode tail of
+        :meth:`__call__`)."""
+        det = not train
         table = text_train if train else text_test
         cs = table[real_support_labels][:, None, :].astype(self.dtype)
         tcs = table[real_target_labels][:, None, :].astype(self.dtype)

@@ -52,8 +52,33 @@ class STENModel(nn.Module):
                                train_chunk=self.train_encode_chunk,
                                remat_policy=self.train_remat_policy)
         D = feats.shape[-1]
-        su_f = feats[: S * T].reshape(S, T, D).mean(axis=1)
-        qu_f = feats[S * T:].reshape(Q, T, D).mean(axis=1)
+        su = feats[: S * T].reshape(S, T, D)
+        qu = feats[S * T:].reshape(Q, T, D)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
+
+    def feature_cacheable(self) -> bool:
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` -> ``[N, T, D]`` (train/feature_cache.py)."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        feats = encode_chunked(self.backbone, flat, self.encode_chunk,
+                               train=train,
+                               train_chunk=self.train_encode_chunk,
+                               remat_policy=self.train_remat_policy)
+        return feats.reshape(N, T, feats.shape[-1])
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels, real_target_labels,
+                       text_train, text_test, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed features (post-encode tail of
+        :meth:`__call__`)."""
+        su_f = su.mean(axis=1)
+        qu_f = qu.mean(axis=1)
 
         table = text_train if train else text_test
         t_f = table[real_support_labels].astype(jnp.float32)     # [S, D]

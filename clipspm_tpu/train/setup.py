@@ -156,6 +156,24 @@ def _has_restorable_checkpoint(cfg) -> bool:
         return False
 
 
+def build_catalog_and_sampler(cfg, mode: str, train: bool, queries: int
+                              ) -> Tuple[object, EpisodeSampler]:
+    """Split catalog + seeded episodic sampler for one split.
+
+    The eval sampler seed is ``MODEL.SEED + 1`` — the SAME stream the
+    Learner's test loader consumes, so an independently-built eval sampler
+    (e.g. the feature-cached evaluator, train/feature_cache.py) replays the
+    identical episode sequence."""
+    catalog = load_split(cfg.traintestlist, cfg.path, mode,
+                         cfg.DATA.DATASET, int(cfg.DATA.SEQ_LEN),
+                         int(cfg.DATA.get("SPLIT", 3)))
+    sampler = EpisodeSampler(
+        catalog, way=int(cfg.TRAIN.WAY), shot=int(cfg.TRAIN.SHOT),
+        queries=queries, seq_len=int(cfg.DATA.SEQ_LEN), train=train,
+        seed=int(cfg.MODEL.SEED) + (0 if train else 1))
+    return catalog, sampler
+
+
 def build_learner(cfg, log_fn=print,
                   allow_random_weights: bool = False) -> Learner:
     """Full production wiring: data + model + weights + text tables.
@@ -207,17 +225,10 @@ def build_learner(cfg, log_fn=print,
 
     only_test = bool(cfg.TEST.ONLY_TEST)
     num_workers = int(cfg.DATA.NUM_WORKERS)
-    seq_len = int(cfg.DATA.SEQ_LEN)
-    split = int(cfg.DATA.get("SPLIT", 3))
-    dataset = cfg.DATA.DATASET
 
     def make_loader(mode: str, train: bool, queries: int):
-        catalog = load_split(cfg.traintestlist, cfg.path, mode, dataset,
-                             seq_len, split)
-        sampler = EpisodeSampler(
-            catalog, way=int(cfg.TRAIN.WAY), shot=int(cfg.TRAIN.SHOT),
-            queries=queries, seq_len=seq_len, train=train,
-            seed=int(cfg.MODEL.SEED) + (0 if train else 1))
+        catalog, sampler = build_catalog_and_sampler(cfg, mode, train,
+                                                     queries)
         return EpisodeLoader(sampler, num_workers=num_workers,
                              prefetch=loader_prefetch(cfg, train))
 
