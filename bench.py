@@ -43,8 +43,10 @@ remote compile cache); ``BENCH_CHUNK`` overrides the eval encode chunk width
 asymptote — 17.34/17.43/17.48 eps/s at E=32/48/64); ``BENCH_TRAIN_ACCUM``
 the accumulated-step episode count (default 16); ``BENCH_ARCH`` the CLIP
 backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower);
-``BENCH_SINGLE=0`` / ``BENCH_INT8=0`` / ``BENCH_RN50=0`` skip those extra
-eval stages; ``BENCH_TRAIN_SINGLE=0`` skips the per-episode train stage
+``BENCH_SINGLE=0`` / ``BENCH_INT8=0`` / ``BENCH_RN50=0`` /
+``BENCH_CACHED=0`` skip those extra eval stages (``BENCH_CACHED_VIDEOS``
+sizes the feature-cache stage's unique-video table, default 120);
+``BENCH_TRAIN_SINGLE=0`` skips the per-episode train stage
 (keeps A/B sweeps of the accumulated step to one backward compile);
 ``BENCH_DEADLINE_S`` the wall-clock budget (0 = no deadline).
 """
@@ -782,6 +784,78 @@ def main():
             extras["rn50_batched_eps_per_sec"] = round(rn_E / t_rn, 3)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["rn50_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
+
+    if os.environ.get("BENCH_CACHED", "1") == "1" and stage_fits(
+            "cached_eval", 240):
+        # unique-video feature-cache eval (TEST.CACHE_FEATURES,
+        # train/feature_cache.py): the published 10k-episode protocol
+        # resamples a small unique test-video set, so each video's
+        # (deterministic) eval features are encoded ONCE into a device
+        # table and the head runs over table gathers. This stage measures
+        # both halves on synthetic in-memory frames: the one-time table
+        # build for V unique videos and the steady-state head rate, then
+        # derives the full-protocol e2e rate for the config default
+        # TEST_EPISODES=10000 (disk decode is a host-side one-time cost on
+        # top — measured live: 120-video table in 24.1 s through this
+        # tunnel, README "Feature-cached evaluation").
+        try:
+            V = int(os.environ.get("BENCH_CACHED_VIDEOS", "120"))
+            enc_B = 30   # videos per encode dispatch (TEST.CACHE_ENCODE_VIDEOS)
+            c_E = 16 if quick else 64   # episodes per head dispatch
+
+            def encode_batch(v, clips_u8):
+                x = episode_device_transform(clips_u8, key, train=False,
+                                             img_size=img, resize_to=256,
+                                             dtype=jnp.bfloat16)
+                return model.apply(v, x, train=False, method="encode")
+
+            encode_batch = jax.jit(encode_batch)
+            rng_np = np.random.default_rng(0)
+            bank = [rng_np.integers(0, 255, (enc_B, T, 256, 256, 3),
+                                    dtype=np.uint8)
+                    for _ in range(-(-V // enc_B))]
+            _sync(encode_batch(variables, jax.device_put(bank[0])))  # compile
+            t0 = time.perf_counter()
+            rows = [encode_batch(variables, jax.device_put(b)) for b in bank]
+            table = jnp.concatenate(rows, axis=0)[:V]
+            table.block_until_ready()
+            t_table = time.perf_counter() - t0
+
+            def head_one(v, tb, si, qi, sl, rs, rt):
+                su = jnp.take(tb, si, axis=0)
+                qu = jnp.take(tb, qi, axis=0)
+                return model.apply(v, su, qu, sl, rs, rt, text, text,
+                                   train=False,
+                                   method="match_features")["logits"]
+
+            head_batched = jax.jit(lambda v, tb, b: jax.lax.map(
+                lambda ep: head_one(v, tb, *ep), b))
+
+            def plan_batch(seed):
+                g = np.random.default_rng(seed)
+                si = np.stack([g.permutation(V)[:S] for _ in range(c_E)])
+                qi = np.stack([g.permutation(V)[:Q] for _ in range(c_E)])
+                sl = np.tile(np.arange(S, dtype=np.int32) % way, (c_E, 1))
+                rs = g.integers(0, 16, (c_E, S), dtype=np.int64)
+                rt = g.integers(0, 16, (c_E, Q), dtype=np.int64)
+                return tuple(jax.device_put(a.astype(np.int32))
+                             for a in (si, qi, sl, rs, rt))
+
+            c_staged = [plan_batch(s) for s in range(2)]
+            _sync(head_batched(variables, table, c_staged[0]))   # compile
+            t_h = _warm_median(head_batched,
+                               [(variables, table, st) for st in c_staged],
+                               inner=2, blocks=2)
+            head_eps = c_E / t_h
+            n_proto = 10000   # config default TEST.TEST_EPISODES
+            extras["cached_head_eps_per_sec"] = round(head_eps, 1)
+            extras["cached_table_videos"] = V
+            extras["cached_table_encode_s"] = round(t_table, 2)
+            extras["cached_10k_protocol_eps_per_sec"] = round(
+                n_proto / (t_table + n_proto / head_eps), 1)
+        except Exception as e:  # pragma: no cover - depends on chip state
+            extras["cached_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         emit()
 
     extras["bench_wall_s"] = round(time.perf_counter() - t_start, 1)

@@ -26,13 +26,23 @@ import platform
 def host_fingerprint() -> str:
     """Short stable id of this host's CPU feature set."""
     bits = [platform.machine(), platform.system()]
+    # x86 'flags' / arm64 'Features' — the set the AOT loader validates
+    # against — plus the CPU identity lines (family/model/stepping/name):
+    # LLVM's host detection keys on these, so two hosts with identical
+    # cpuinfo flags can still produce incompatible AOT entries (observed
+    # on migrated VMs: one foreign entry spamming "machine type ...
+    # doesn't match" into every run that touched it)
+    want = ("flags", "Features", "model name", "cpu family", "model\t",
+            "model ", "stepping", "vendor_id")
     try:
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                # x86 'flags' / arm64 'Features' — the exact set the AOT
-                # loader validates against
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if key not in seen and line.startswith(want):
                     bits.append(line.strip())
+                    seen.add(key)
+                if line.strip() == "":  # first core's block is enough
                     break
     except OSError:
         bits.append(platform.processor() or "")

@@ -17,8 +17,12 @@ Usage:
         [--episodes 400] [--lr 3e-4] [--root /tmp/conv_ds] [--final-eps 200]
 
 Prints one JSON line: {"arch", "episodes", "val_curve", "final_acc",
-"final_ci", "restore_acc", "wall_s", ...}. Pass --keep to retain the
-checkpoint dir for inspection.
+"final_ci", "restore_acc", "cached_eval_acc", "wall_s", ...}. The final
+eval runs three fresh-process restores: uncached (the number), uncached
+again (restore determinism), and feature-cached (TEST.CACHE_FEATURES —
+cross-checks train/feature_cache.py on the trained checkpoint and times
+its wall-clock win). Pass --keep to retain the checkpoint dir for
+inspection.
 """
 
 from __future__ import annotations
@@ -164,6 +168,17 @@ def main():
     m = re.search(r"\w+: ([\d.]+) \+/- ([\d.]+)", out)
     restore_acc = float(m.group(1))
 
+    # third restore: the unique-video feature cache (TEST.CACHE_FEATURES,
+    # train/feature_cache.py) on the SAME seeded episode stream — the
+    # trained-checkpoint accuracy cross-check for the cached path, plus its
+    # wall-clock win over the per-episode re-encode above
+    t0 = time.perf_counter()
+    out = sh(common + ["TEST.ONLY_TEST=true", "TEST.CACHE_FEATURES=true",
+                       f"TEST.TEST_EPISODES={args.final_eps}"])
+    cached_wall = time.perf_counter() - t0
+    m = re.search(r"\w+: ([\d.]+) \+/- ([\d.]+)", out)
+    cached_acc = float(m.group(1))
+
     if not args.keep:
         shutil.rmtree(ckpt, ignore_errors=True)
     print(json.dumps({
@@ -173,8 +188,10 @@ def main():
         "final_acc": final_acc, "final_ci": final_ci,
         "final_eval_episodes": args.final_eps,
         "restore_acc": restore_acc,
+        "cached_eval_acc": cached_acc,
         "train_wall_s": round(train_wall, 1),
         "final_eval_wall_s": round(final_wall, 1),
+        "cached_eval_wall_s": round(cached_wall, 1),
     }))
 
 
