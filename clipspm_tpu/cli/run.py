@@ -109,12 +109,45 @@ def main(argv=None):
                          f"TEST/{cfg.DATA.DATASET}_ci": res["confidence"]}, 0)
     else:
         log("Conduct Training:")
-        learner.run(
-            checkpoint_fn=lambda ep, acc: manager.save(
-                learner.state, "best", best_acc=acc),
-            periodic_checkpoint_fn=lambda ep: manager.save(
-                learner.state, f"iter_{ep}"),
-            metrics=metrics, eval_batch_size=eval_batch)
+        cached_ev = None
+        if cfg.TEST.get("CACHE_FEATURES", False):
+            # feature-cached mid-train validations: ONE persistent
+            # evaluator (its seeded sampler stream continues across vals,
+            # matching the uncached loader's semantics); the unique-video
+            # table is re-encoded at the CURRENT params on every val
+            # (train/feature_cache.py) — per-val wall drops from minutes
+            # to seconds at production shape
+            from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
+            from clipspm_tpu.train.setup import build_catalog_and_sampler
+
+            try:
+                v_cat, v_samp = build_catalog_and_sampler(
+                    cfg, "test", False, int(cfg.TEST.QUERY_PER_CLASS))
+                cached_ev = FeatureCachedEvaluator(
+                    learner, v_cat, v_samp,
+                    encode_videos_per_step=int(
+                        cfg.TEST.get("CACHE_ENCODE_VIDEOS", 30) or 30),
+                    eval_batch=int(cfg.TEST.get("CACHE_EVAL_BATCH", 64)
+                                   or 64),
+                    num_decode_workers=int(cfg.DATA.NUM_WORKERS),
+                    log_fn=log)
+            except ValueError as e:
+                # e.g. a pixel-space head (molo/soap) — train with the
+                # uncached validator rather than refusing to train
+                log(f"WARNING: TEST.CACHE_FEATURES ignored for training "
+                    f"validations — {e}")
+                cached_ev = None
+        try:
+            learner.run(
+                checkpoint_fn=lambda ep, acc: manager.save(
+                    learner.state, "best", best_acc=acc),
+                periodic_checkpoint_fn=lambda ep: manager.save(
+                    learner.state, f"iter_{ep}"),
+                metrics=metrics, eval_batch_size=eval_batch,
+                val_fn=cached_ev.evaluate if cached_ev else None)
+        finally:
+            if cached_ev is not None:
+                cached_ev.close()
     metrics.close()
     logfile.close()
 

@@ -449,9 +449,18 @@ class Learner:
             print_freq: Optional[int] = None,
             checkpoint_fn: Optional[Callable[[int, float], None]] = None,
             periodic_checkpoint_fn: Optional[Callable[[int], None]] = None,
-            metrics=None, eval_batch_size: int = 1) -> Dict[str, float]:
+            metrics=None, eval_batch_size: int = 1,
+            val_fn: Optional[Callable[[int], Dict[str, float]]] = None
+            ) -> Dict[str, float]:
         """Training loop with periodic eval/checkpoints
-        (reference: run/main_run.py:179-243)."""
+        (reference: run/main_run.py:179-243).
+
+        ``val_fn(n_episodes)`` overrides the mid-train validation path
+        (must return the :meth:`evaluate` metric dict) — the CLI passes the
+        unique-video feature-cached evaluator here when
+        ``TEST.CACHE_FEATURES`` is set (train/feature_cache.py), which
+        re-encodes the val split's videos at the CURRENT params each val
+        and cuts the per-val wall from minutes to seconds."""
         import os as _os
 
         from ..data.episode import stack_episodes
@@ -567,8 +576,11 @@ class Learner:
                     periodic_checkpoint_fn(episode)
 
                 if at_val:
-                    res = self.evaluate(test_eps,
-                                        batch_size=eval_batch_size)
+                    if val_fn is not None:
+                        res = val_fn(test_eps)
+                    else:
+                        res = self.evaluate(test_eps,
+                                            batch_size=eval_batch_size)
                     self.log(f"Val @ {episode}: acc {res['accuracy']:.2f} "
                              f"+/- {res['confidence']:.2f}")
                     if res["accuracy"] > best_acc:

@@ -175,6 +175,58 @@ def test_cached_eval_matches_uncached(disk_dataset):
     np.testing.assert_allclose(got["loss"], ref["loss"], atol=1e-4)
 
 
+def test_run_val_fn_overrides_validation():
+    """Learner.run(val_fn=...) must route mid-train validations through the
+    hook (the CLI passes the feature-cached evaluator here) and use its
+    accuracy for best-checkpoint selection."""
+    from test_pipelined_loop import _make
+
+    from clipspm_tpu.train.learner import Learner
+
+    cfg, model, variables, src, test_src, text, tf = _make()
+    calls, saved = [], []
+
+    def val_fn(n):
+        calls.append(n)
+        return {"accuracy": 77.0, "confidence": 1.0, "loss": 0.5}
+
+    lr = Learner(cfg, model, variables, train_source=src,
+                 test_source=test_src, text_train=text, text_test=text,
+                 transform=tf, log_fn=lambda *_: None)
+    out = lr.run(train_episodes=8, val_freq=4, test_episodes=3,
+                 print_freq=4,
+                 checkpoint_fn=lambda ep, acc: saved.append((ep, acc)),
+                 val_fn=val_fn)
+    assert calls == [3]          # one val at episode 4 (tpb=2, total=8)
+    assert out["best_accuracy"] == 77.0
+    assert saved and saved[0][1] == 77.0
+
+
+def test_run_with_cached_validator(disk_dataset):
+    """End-to-end: train with FeatureCachedEvaluator.evaluate as val_fn —
+    the table is rebuilt at the current params each val and the run's
+    best accuracy comes from the cached path."""
+    from clipspm_tpu.data import SyntheticEpisodeSource
+    from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
+
+    learner = _build_learner(None)
+    learner.train_source = SyntheticEpisodeSource(
+        way=WAY, shot=SHOT, queries=QUERIES, seq_len=SEQ_LEN,
+        img_size=32, num_classes=4, seed=9)
+    catalog, sampler = _catalog_sampler(disk_dataset)
+    logs = []
+    ev = FeatureCachedEvaluator(learner, catalog, sampler,
+                                encode_videos_per_step=5, eval_batch=4,
+                                log_fn=logs.append)
+    try:
+        out = learner.run(train_episodes=4, val_freq=2, test_episodes=4,
+                          print_freq=4, val_fn=ev.evaluate)
+    finally:
+        ev.close()
+    assert out["best_accuracy"] > 0.0
+    assert any("feature-cached eval" in str(l) for l in logs)
+
+
 def test_cached_eval_guards(disk_dataset):
     from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
 
