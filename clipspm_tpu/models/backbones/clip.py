@@ -339,6 +339,10 @@ class ResidualAttentionBlock(nn.Module):
         h = FP32LayerNorm(self.fp32_norms, name="ln_2")(x)
         h = Dense(4 * self.d_model, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
+        # tag for the "mlp" remat policy: saving the gelu output lets the
+        # backward skip re-doing the c_fc matmul + gelu (the largest single
+        # recompute block left under "attn_out") at 4*d_model per token
+        h = checkpoint_name(h, "mlp_gelu")
         h = Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
         return x + h
 

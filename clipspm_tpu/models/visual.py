@@ -70,6 +70,11 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
       dots policy's 7.9 G.
     - "attn_out": saves only the attention outputs (~0.9 G) — the minimal
       variant if "attn" does not fit.
+    - "mlp": "attn_out" plus the MLP gelu outputs (``mlp_gelu`` tag, 4x
+      d_model per token: ~3.6 G at the 240-frame ViT-B/16 step) — the
+      backward additionally skips re-doing the c_fc matmul + gelu, the
+      largest recompute block left under "attn_out"; worth it only if the
+      extra residency does not degrade XLA's schedule (measure per part).
     """
     N = frames.shape[0]
     if train:
@@ -94,7 +99,9 @@ def encode_chunked(backbone: nn.Module, frames: jnp.ndarray, chunk: int, *,
                     "attn": jax.checkpoint_policies
                     .save_only_these_names("attn_probs", "attn_out"),
                     "attn_out": jax.checkpoint_policies
-                    .save_only_these_names("attn_out")}
+                    .save_only_these_names("attn_out"),
+                    "mlp": jax.checkpoint_policies
+                    .save_only_these_names("attn_out", "mlp_gelu")}
         if remat_policy not in policies:
             raise ValueError(
                 f"unknown remat_policy {remat_policy!r}; "

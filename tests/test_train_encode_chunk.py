@@ -20,7 +20,7 @@ import pytest
 
 @pytest.mark.parametrize("train_chunk,policy", [(True, "full"), (4, "full"),
                                                 (4, "dots"), (4, "attn"),
-                                                (4, "attn_out")])
+                                                (4, "attn_out"), (4, "mlp")])
 def test_train_chunked_forward_and_grads_match(train_chunk, policy):
     # True reuses the eval width (3); 4 is a distinct train width (the
     # production default uses 40-frame train chunks vs 30 for eval).
