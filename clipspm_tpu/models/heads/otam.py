@@ -112,7 +112,34 @@ class OTAMModel(nn.Module):
         tokens = fmap.reshape(N, h * w, D)
         su_sp = tokens[: S * T].reshape(S, T, h * w, D)
         qu_sp = tokens[S * T:].reshape(Q, T, h * w, D)
+        return self.match_features(su_sp, qu_sp, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
 
+    def feature_cacheable(self) -> bool:
+        """Per-video spatial tokens fully determine this head's inputs
+        (train/feature_cache.py)."""
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` frames -> ``[N, T, h*w, D]`` spatial tokens.
+
+        The cacheable pixel->feature stage of :meth:`__call__` (BN runs on
+        its running statistics at eval, so per-video tokens are independent
+        of episode composition)."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        fmap = encode_chunked(self.backbone, flat, self.encode_chunk,
+                              train=train)   # [N*T, h, w, D]
+        h, w, D = fmap.shape[1:]
+        return fmap.reshape(N, T, h * w, D)
+
+    def match_features(self, su_sp, qu_sp, support_labels,
+                       real_support_labels=None, real_target_labels=None,
+                       text_train=None, text_test=None, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed spatial tokens ``su_sp [S,T,hw,D]`` /
+        ``qu_sp [Q,T,hw,D]`` (the post-encode tail of :meth:`__call__`)."""
         mo_logits = self.mo(qu_sp, su_sp, support_labels,
                             deterministic=not train)
 

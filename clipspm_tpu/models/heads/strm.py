@@ -199,7 +199,40 @@ class STRMModel(nn.Module):
         frames = patches.mean(axis=1)                          # [N, D]
         su = frames[: S * T].reshape(S, T, D)
         qu = frames[S * T:].reshape(Q, T, D)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
 
+    def feature_cacheable(self) -> bool:
+        """The patch-attended frame features are per-video (attn_pat mixes
+        patches WITHIN a frame only), so they fully determine this head's
+        inputs (train/feature_cache.py)."""
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` frames -> ``[N, T, D]`` patch-attended frame
+        features: backbone -> adaptive-max-pool -> patch self-attention ->
+        patch mean. Everything here is per-frame (hence per-video), making
+        it the cacheable pixel->feature stage of :meth:`__call__`."""
+        det = not train
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        fmap = encode_chunked(self.backbone, flat, self.encode_chunk,
+                              train=train)   # [N*T, h, w, D]
+        fmap = adaptive_max_pool_2d(fmap, self.num_patches_side,
+                                    self.num_patches_side)
+        n, ph, pw, D = fmap.shape
+        patches = self.attn_pat(fmap.reshape(n, ph * pw, D),
+                                deterministic=det)
+        return patches.mean(axis=1).reshape(N, T, D)
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels=None, real_target_labels=None,
+                       text_train=None, text_test=None, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed frame features ``su [S,T,D]`` /
+        ``qu [Q,T,D]`` (the post-encode tail of :meth:`__call__`)."""
+        det = not train
         post_pat = jnp.stack(
             [d(su, support_labels, qu, deterministic=det)
              for d in self.dist_losses], axis=-1).mean(axis=-1)

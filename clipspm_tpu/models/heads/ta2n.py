@@ -285,7 +285,42 @@ class TA2NModel(nn.Module):
         if self.first_stage:
             su = self.ttm(su, train=train)
             qu = self.ttm(qu, train=train)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
 
+    def feature_cacheable(self) -> bool:
+        """The TTM warp is computed per video from its own features, so the
+        post-warp spatial maps fully determine this head's inputs
+        (train/feature_cache.py)."""
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` frames -> ``[N, T, h, w, D]`` TTM-aligned
+        spatial maps: backbone -> (dropout) -> per-video temporal transform.
+        The cacheable pixel->feature stage of :meth:`__call__` — the first
+        TA2N stage aligns each video AGAINST ITSELF (reference:
+        models/model_ta2n.py:118-170), so it is episode-independent."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        fmap = encode_chunked(self.backbone, flat, self.encode_chunk,
+                              train=train)   # [N*T, h, w, D]
+        fmap = self.feat_dropout(fmap, deterministic=not train)
+        h, w, D = fmap.shape[1:]
+        vids = fmap.reshape(N, T, h, w, D)
+        if self.first_stage:
+            vids = self.ttm(vids, train=train)
+        return vids
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels=None, real_target_labels=None,
+                       text_train=None, text_test=None, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed (post-TTM) spatial maps ``su [S,T,h,w,D]``
+        / ``qu [Q,T,h,w,D]`` (the post-encode tail of :meth:`__call__`)."""
+        Q = qu.shape[0]
+        T = qu.shape[1]
+        D = qu.shape[-1]
         if self.shot > 1:
             grouped = group_by_class(su, support_labels, self.way, self.shot)
             proto = self._insupport_align(grouped)          # [way, T, h, w, D]

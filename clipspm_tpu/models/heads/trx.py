@@ -143,7 +143,30 @@ class TRXModel(nn.Module):
         D = feats.shape[-1]
         su = feats[: S * T].reshape(S, T, D)
         qu = feats[S * T:].reshape(Q, T, D)
+        return self.match_features(su, qu, support_labels,
+                                   real_support_labels, real_target_labels,
+                                   text_train, text_test, train=train)
 
+    def feature_cacheable(self) -> bool:
+        """Per-video pooled frame features fully determine this head's
+        inputs (train/feature_cache.py)."""
+        return True
+
+    def encode(self, images, *, train: bool = False) -> jnp.ndarray:
+        """``[N, T, H, W, 3]`` frames -> ``[N, T, D]`` pooled frame features
+        (the cacheable pixel->feature stage of :meth:`__call__`)."""
+        N, T = images.shape[:2]
+        flat = images.reshape((N * T,) + images.shape[2:]).astype(self.dtype)
+        feats = encode_chunked(self.backbone, flat, self.encode_chunk,
+                               train=train)
+        return feats.reshape(N, T, feats.shape[-1])
+
+    def match_features(self, su, qu, support_labels,
+                       real_support_labels=None, real_target_labels=None,
+                       text_train=None, text_test=None, *,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Head over precomputed features ``su [S,T,D]`` / ``qu [Q,T,D]``
+        (the post-encode tail of :meth:`__call__`)."""
         logits = [t(su, support_labels, qu, deterministic=not train)
                   for t in self.transformers]
         logits = jnp.stack(logits, axis=-1).mean(axis=-1)

@@ -25,11 +25,17 @@ For the published protocol (10,000 episodes x 30 videos at 5-way 5-shot
 
 Opt-in via ``TEST.CACHE_FEATURES: true`` (CLI ONLY_TEST path). Supported for
 heads whose per-video features fully determine the episode forward — the
-CLIP family (clipspm / clipfsar / sten / cpm2c-without-visual-prompts; each
-model advertises via ``feature_cacheable()``). Pixel-space heads (soap's
-pixel priors run before the backbone, molo's recon stream needs raw frame
+CLIP family (clipspm / clipfsar / sten / cpm2c-without-visual-prompts) and
+the resnet family (otam's spatial tokens, trx's pooled frames, strm's
+patch-attended frames, ta2n's post-TTM spatial maps — the TTM warp aligns
+each video against itself, so it is episode-independent); each model
+advertises via ``feature_cacheable()``. Pixel-space heads (soap's pixel
+priors run before the backbone, molo's recon stream needs raw frame
 differences) are out of scope by construction, as is training (random crop /
-flip make features draw-dependent).
+flip make features draw-dependent). The table shape follows the head's
+``encode`` output (``[V,T,D]`` frame features up to ``[V,T,h,w,D]`` spatial
+maps — the evaluator is shape-generic; spatial tables cost more HBM, scale
+``CACHE_ENCODE_VIDEOS``/``CACHE_EVAL_BATCH`` down accordingly).
 """
 
 from __future__ import annotations

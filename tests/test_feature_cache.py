@@ -24,7 +24,10 @@ PIL = pytest.importorskip("PIL.Image")
 
 # -- 1. composition parity ----------------------------------------------------
 
-CACHE_MODELS = ["clipspm", "clipfsar", "sten", "cpm2c"]
+# CLIP family: [V,T,D] frame-feature tables; resnet family: otam [V,T,hw,D]
+# spatial tokens, trx/strm [V,T,D], ta2n [V,T,h,w,D] post-TTM maps
+CACHE_MODELS = ["clipspm", "clipfsar", "sten", "cpm2c",
+                "otam", "trx", "strm", "ta2n"]
 
 
 @pytest.mark.parametrize("name", CACHE_MODELS)
@@ -39,7 +42,9 @@ def test_encode_match_composes_to_call(name):
     ref = model.apply(variables, *inputs, train=False, mutable=False)
     su = model.apply(variables, sup_img, train=False, method="encode")
     qu = model.apply(variables, tgt_img, train=False, method="encode")
-    assert su.shape == (S, T, dim)
+    # table rows are per-video: leading dims [N, T, ...] regardless of the
+    # head's feature rank (frame vectors / spatial tokens / spatial maps)
+    assert su.shape[:2] == (S, T)
     got = model.apply(variables, su, qu, sup_l, real_s, real_t,
                       text_tr, text_te, train=False,
                       method="match_features")
@@ -49,8 +54,9 @@ def test_encode_match_composes_to_call(name):
                                    rtol=1e-5, atol=1e-5, err_msg=key)
 
 
-def test_non_clip_heads_not_cacheable():
-    model, _ = make_model("otam")
+@pytest.mark.parametrize("name", ["molo", "soap"])
+def test_pixel_space_heads_not_cacheable(name):
+    model, _ = make_model(name)
     from clipspm_tpu.train.feature_cache import _model_feature_cacheable
 
     assert not _model_feature_cacheable(model)
@@ -96,13 +102,12 @@ def disk_dataset(tmp_path_factory):
     return str(splits), str(data)
 
 
-def _build_learner(test_source):
-    from clipspm_tpu.models.fsar import CLIPSPMModel
+def _build_learner(test_source, name="clipspm"):
     from clipspm_tpu.train.learner import Learner, TransformSpec
     from clipspm_tpu.utils.config import ConfigNode, SPM_DEFAULT_PARAMS
 
     cfg = ConfigNode({
-        "MODEL": {"NAME": "clipspm", "BACKBONE": "test-tiny", "SEED": 0},
+        "MODEL": {"NAME": name, "BACKBONE": "test-tiny", "SEED": 0},
         "TRAIN": {"WAY": WAY, "SHOT": SHOT, "QUERY_PER_CLASS": QUERIES,
                   "TASKS_PER_BATCH": 2},
         "TEST": {"QUERY_PER_CLASS": QUERIES, "TEST_EPISODES": 6},
@@ -113,10 +118,21 @@ def _build_learner(test_source):
         "USE_AMP": False,
         "params": SPM_DEFAULT_PARAMS["hmdb"],
     })
-    arch = CLIP_ARCHS["test-tiny"]
-    model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT,
-                         spm=dict(cfg.params))
-    D = arch.embed_dim
+    if name == "clipspm":
+        from clipspm_tpu.models.fsar import CLIPSPMModel
+
+        arch = CLIP_ARCHS["test-tiny"]
+        model = CLIPSPMModel(arch=arch, way=WAY, shot=SHOT,
+                             spm=dict(cfg.params))
+        D = arch.embed_dim
+    elif name == "otam":
+        from clipspm_tpu.models.heads.otam import OTAMModel
+
+        model = OTAMModel(way=WAY, shot=SHOT, arch="resnet18",
+                          backbone_width=8)
+        D = 64
+    else:
+        raise ValueError(name)
     S_, Q_ = WAY * SHOT, WAY * QUERIES
     dummy = (
         jnp.zeros((S_, SEQ_LEN, IMG, IMG, 3), jnp.float32),
@@ -145,7 +161,10 @@ def _catalog_sampler(disk_dataset, seed=1):
     return catalog, sampler
 
 
-def test_cached_eval_matches_uncached(disk_dataset):
+@pytest.mark.parametrize("name", ["clipspm", "otam"])
+def test_cached_eval_matches_uncached(disk_dataset, name):
+    """clipspm: [V,T,D] frame-feature table; otam: [V,T,hw,D] spatial-token
+    table — the evaluator must be generic over the encode output rank."""
     from clipspm_tpu.data.pipeline import EpisodeLoader
     from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
 
@@ -154,7 +173,7 @@ def test_cached_eval_matches_uncached(disk_dataset):
     catalog, sampler = _catalog_sampler(disk_dataset)
     loader = EpisodeLoader(sampler, num_workers=2, prefetch=2,
                            use_native=False)
-    learner = _build_learner(loader)
+    learner = _build_learner(loader, name)
     try:
         ref = learner.evaluate(n_eps, batch_size=2)
     finally:
