@@ -46,6 +46,22 @@ def host_fingerprint() -> str:
                     break
     except OSError:
         bits.append(platform.processor() or "")
+    # cpuinfo is not enough: XLA tunes its LLVM target by kernel-reported
+    # mitigation state too (e.g. +prefer-no-gather/-scatter on
+    # Downfall-affected hosts), so two hosts with byte-identical cpuinfo
+    # blocks can still write mutually-unloadable AOT entries (observed:
+    # "gather_data_sampling: Not affected" here vs a mitigated twin VM
+    # spamming machine-type mismatches from the shared dir)
+    vuln_dir = "/sys/devices/system/cpu/vulnerabilities"
+    try:
+        for name in sorted(os.listdir(vuln_dir)):
+            try:
+                with open(os.path.join(vuln_dir, name)) as f:
+                    bits.append(f"{name}:{f.read().strip()}")
+            except OSError:
+                pass
+    except OSError:
+        pass
     return hashlib.md5("|".join(bits).encode()).hexdigest()[:10]
 
 
