@@ -14,6 +14,14 @@ fingerprint gives each distinct machine its own warm cache.
 TPU (tunneled-backend) executables have no such problem — they are compiled
 for the TPU, not the host — but sharing the directory costs nothing beyond a
 one-time re-warm per new host.
+
+/proc/cpuinfo and /sys are NOT sufficient fingerprint inputs on virtualized
+hosts: both are boot-time snapshots of the guest kernel, while LLVM detects
+host features via *live CPUID* at compile time. A live-migrated guest (no
+reboot, files unchanged) can land on metal whose CPUID differs — observed
+here: AOT entries written at 09:57 failed to load at 12:12 within one boot
+(+prefer-no-gather/-scatter target mismatch). The fingerprint therefore also
+executes CPUID directly (same source LLVM uses) via a tiny mmap'd shim.
 """
 
 from __future__ import annotations
@@ -21,6 +29,71 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+
+
+def _cpuid_words():
+    """Live CPUID feature words (x86_64 only; [] elsewhere or on failure).
+
+    Executes the CPUID instruction in-process via a 24-byte mmap'd shim —
+    the only host-feature source that tracks live migration (guest /proc
+    and /sys are frozen at boot). Per-core-variable fields (initial APIC id
+    in leaf 1 EBX[31:24]) are masked so the result is core-independent.
+    """
+    if platform.machine() != "x86_64":
+        return []
+    try:
+        import ctypes
+        import mmap
+
+        # void cpuid(uint32 leaf /*edi*/, uint32 sub /*esi*/, uint32* out /*rdx*/)
+        code = bytes([
+            0x53,                     # push rbx (callee-saved, cpuid clobbers)
+            0x89, 0xF8,               # mov eax, edi
+            0x89, 0xF1,               # mov ecx, esi
+            0x49, 0x89, 0xD0,         # mov r8, rdx
+            0x0F, 0xA2,               # cpuid
+            0x41, 0x89, 0x00,         # mov [r8], eax
+            0x41, 0x89, 0x58, 0x04,   # mov [r8+4], ebx
+            0x41, 0x89, 0x48, 0x08,   # mov [r8+8], ecx
+            0x41, 0x89, 0x50, 0x0C,   # mov [r8+12], edx
+            0x5B,                     # pop rbx
+            0xC3,                     # ret
+        ])
+        buf = mmap.mmap(-1, len(code),
+                        prot=mmap.PROT_READ | mmap.PROT_WRITE | mmap.PROT_EXEC)
+        buf.write(code)
+        fn = ctypes.CFUNCTYPE(
+            None, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32 * 4))(
+            ctypes.addressof(ctypes.c_char.from_buffer(buf)))
+        out = (ctypes.c_uint32 * 4)()
+
+        def cpuid(leaf, sub=0):
+            fn(leaf, sub, ctypes.byref(out))
+            return list(out)
+
+        words = []
+        max_basic = cpuid(0)[0]
+        # the leaves LLVM's getHostCPUInfo/Features reads: vendor+max (0),
+        # family/model/stepping + base features (1), structured extended
+        # features (7.0/7.1/7.2), xsave state (0xD.0/0xD.1), AMD/extended
+        # features (0x80000001, 0x80000008)
+        for leaf, sub in ((0, 0), (1, 0), (7, 0), (7, 1), (7, 2),
+                          (0xD, 0), (0xD, 1)):
+            if leaf > max_basic:
+                continue
+            regs = cpuid(leaf, sub)
+            if leaf == 1:
+                regs[1] &= 0x00FFFFFF  # drop per-core initial APIC id
+            words.append((leaf, sub, regs))
+        max_ext = cpuid(0x80000000)[0]
+        for leaf in (0x80000001, 0x80000008):
+            if leaf <= max_ext:
+                words.append((leaf, 0, cpuid(leaf)))
+        del fn  # release the buffer reference before the mmap closes
+        return words
+    except Exception:
+        return []
 
 
 def host_fingerprint() -> str:
@@ -62,6 +135,11 @@ def host_fingerprint() -> str:
                 pass
     except OSError:
         pass
+    # ... and the files are not enough either: a live-migrated guest keeps
+    # its boot-time /proc + /sys while the metal's CPUID changes underneath
+    # (see module docstring). Hash the live CPUID words LLVM actually reads.
+    for leaf, sub, regs in _cpuid_words():
+        bits.append("cpuid:%x.%x:%08x,%08x,%08x,%08x" % (leaf, sub, *regs))
     return hashlib.md5("|".join(bits).encode()).hexdigest()[:10]
 
 

@@ -62,3 +62,37 @@ def test_fingerprint_covers_cpu_identity(monkeypatch):
                         fake_open_factory(base.format(model=143, stepping=8)))
     fp_spr = cache_mod.host_fingerprint()
     assert fp_skylake != fp_spr
+
+
+def test_cpuid_words_live_and_deterministic():
+    """On x86_64 the shim must execute and return stable, core-independent
+    words (per-core APIC id masked); elsewhere it must return []."""
+    import platform
+
+    from clipspm_tpu.utils.cache import _cpuid_words
+
+    a, b = _cpuid_words(), _cpuid_words()
+    assert a == b
+    if platform.machine() == "x86_64":
+        assert a, "CPUID shim failed on x86_64"
+        leaves = [(leaf, sub) for leaf, sub, _ in a]
+        assert (0, 0) in leaves and (1, 0) in leaves and (7, 0) in leaves
+        regs1 = dict(((l, s), r) for l, s, r in a)[(1, 0)]
+        assert regs1[1] >> 24 == 0, "per-core APIC id leaked into leaf 1 EBX"
+
+
+def test_fingerprint_covers_live_cpuid(monkeypatch):
+    """A live-migrated guest keeps boot-frozen /proc + /sys while the
+    metal's CPUID changes underneath — the fingerprint must change with the
+    CPUID words alone (the observed same-boot foreign-AOT failure mode)."""
+    import clipspm_tpu.utils.cache as cache_mod
+
+    monkeypatch.setattr(
+        cache_mod, "_cpuid_words",
+        lambda: [(7, 0, [2, 0xF1BF2FFB, 0x1A415F46, 0xAFC14410])])
+    fp_metal_a = cache_mod.host_fingerprint()
+    monkeypatch.setattr(
+        cache_mod, "_cpuid_words",
+        lambda: [(7, 0, [2, 0xF1BF2FFB, 0x1A415F46, 0xAFC10410])])
+    fp_metal_b = cache_mod.host_fingerprint()
+    assert fp_metal_a != fp_metal_b
