@@ -120,9 +120,12 @@ def main(argv=None):
             from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
             from clipspm_tpu.train.setup import build_catalog_and_sampler
 
+            # catalog/split errors must surface (a malformed config is a
+            # wrong experiment, not a cache-eligibility problem) — only the
+            # evaluator constructor's eligibility ValueErrors are downgraded
+            v_cat, v_samp = build_catalog_and_sampler(
+                cfg, "test", False, int(cfg.TEST.QUERY_PER_CLASS))
             try:
-                v_cat, v_samp = build_catalog_and_sampler(
-                    cfg, "test", False, int(cfg.TEST.QUERY_PER_CLASS))
                 cached_ev = FeatureCachedEvaluator(
                     learner, v_cat, v_samp,
                     encode_videos_per_step=int(
@@ -137,6 +140,13 @@ def main(argv=None):
                 log(f"WARNING: TEST.CACHE_FEATURES ignored for training "
                     f"validations — {e}")
                 cached_ev = None
+            if cached_ev is not None and learner.test_source is not None:
+                # val_fn replaces the uncached validator entirely, so the
+                # test loader's prefetch/decode workers would otherwise idle
+                # (but stay alive) for the whole run — mirror the ONLY_TEST
+                # branch and release them up front
+                learner.test_source.close()
+                learner.test_source = None
         try:
             learner.run(
                 checkpoint_fn=lambda ep, acc: manager.save(

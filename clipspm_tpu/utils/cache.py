@@ -38,9 +38,29 @@ def _cpuid_words():
     the only host-feature source that tracks live migration (guest /proc
     and /sys are frozen at boot). Per-core-variable fields (initial APIC id
     in leaf 1 EBX[31:24]) are masked so the result is core-independent.
+
+    Constraint: the shim maps one PROT_WRITE|PROT_EXEC page. Hardened hosts
+    that *deny* W^X mappings (PaX/SELinux execmem → mmap fails with
+    EPERM/EACCES) fall through the ``except`` to the fileless fingerprint;
+    a seccomp policy that KILLS on such mmaps instead would terminate the
+    process — on such fleets pin ``$JAX_COMPILATION_CACHE_DIR`` explicitly,
+    which bypasses fingerprinting entirely (see compilation_cache_dir).
+
+    The reads are pinned to one CPU for their duration: on heterogeneous
+    (hybrid P/E-core) hosts leaves 1/7/0xD can differ per core type, and an
+    unpinned thread would fingerprint whichever core it happened to be
+    scheduled on — fragmenting the cache run-to-run.
     """
     if platform.machine() != "x86_64":
         return []
+    prev_affinity = None
+    try:
+        allowed = sorted(os.sched_getaffinity(0))
+        if len(allowed) > 1:
+            prev_affinity = set(allowed)
+            os.sched_setaffinity(0, {allowed[0]})
+    except (AttributeError, OSError):
+        prev_affinity = None
     try:
         import ctypes
         import mmap
@@ -94,6 +114,12 @@ def _cpuid_words():
         return words
     except Exception:
         return []
+    finally:
+        if prev_affinity is not None:
+            try:
+                os.sched_setaffinity(0, prev_affinity)
+            except OSError:
+                pass
 
 
 def host_fingerprint() -> str:
