@@ -91,16 +91,31 @@ def main(argv=None):
             # produce plausible-looking training-free numbers)
             log(f"WARNING: no 'best' checkpoint under {ckpt_dir} — "
                 "evaluating the FRESH (untrained) model")
+        res = None
         if cfg.TEST.get("CACHE_FEATURES", False):
             # unique-video feature cache: encode each test video once, run
             # the head over gathered features (train/feature_cache.py) —
-            # same episode stream and metrics as the uncached path
+            # same episode stream and metrics as the uncached path. Default
+            # ON in every cacheable family config.
             from clipspm_tpu.train.feature_cache import evaluate_cached
+            from clipspm_tpu.train.setup import build_catalog_and_sampler
 
-            if learner.test_source is not None:
-                learner.test_source.close()   # its prefetch is unused here
-            res = evaluate_cached(cfg, learner, log_fn=log)
-        else:
+            # catalog/split errors surface; only eligibility ValueErrors
+            # from the evaluator itself are downgraded to the fallback
+            t_cat, t_samp = build_catalog_and_sampler(
+                cfg, "test", False, int(cfg.TEST.QUERY_PER_CLASS))
+            try:
+                res = evaluate_cached(cfg, learner, catalog=t_cat,
+                                      sampler=t_samp, log_fn=log)
+            except ValueError as e:
+                # a head that can't cache (pixel-space molo/soap, cpm2c
+                # with visual prompts) falls back to the uncached protocol
+                # — loudly, never silently
+                log(f"WARNING: TEST.CACHE_FEATURES ignored — {e}")
+            else:
+                if learner.test_source is not None:
+                    learner.test_source.close()  # prefetch was unused
+        if res is None:
             res = learner.evaluate(int(cfg.TEST.TEST_EPISODES),
                                    batch_size=eval_batch)
         log(f"{cfg.DATA.DATASET}: {res['accuracy']:.2f} "

@@ -97,6 +97,7 @@ class FeatureCachedEvaluator:
                  encode_videos_per_step: int = 30,
                  eval_batch: int = 64,
                  num_decode_workers: int = 8,
+                 mesh=None,
                  log_fn: Callable[[str], None] = print):
         if not _model_feature_cacheable(learner.model):
             raise ValueError(
@@ -116,8 +117,24 @@ class FeatureCachedEvaluator:
         self.learner = learner
         self.catalog = catalog
         self.sampler = sampler
-        self.encode_videos_per_step = int(encode_videos_per_step)
-        self.eval_batch = int(eval_batch)
+        # Mesh-aware by default: inherit the learner's config-driven mesh
+        # (train/setup.py:build_device_mesh) so the CLI's fastest eval path
+        # scales with DEVICE.NUM_CHIPS like the uncached evaluator
+        # (learner.py:_eval_batch_impl). The table-encode batch and the
+        # head's episode axis shard over dp; the feature table and params
+        # stay replicated (the table is small next to the frames it
+        # replaces, and every chip gathers arbitrary rows from it).
+        self.mesh = learner.mesh if mesh is None else mesh
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        self.dp = int(dp)
+
+        def _round_up(n: int) -> int:
+            return -(-max(1, int(n)) // dp) * dp
+
+        # both batch sizes pad to a static shape anyway; rounding them up to
+        # a dp multiple keeps the sharded partitioning exact
+        self.encode_videos_per_step = _round_up(encode_videos_per_step)
+        self.eval_batch = _round_up(eval_batch)
         self.log = log_fn
         from ..data.native_decode import get_library
 
@@ -126,8 +143,17 @@ class FeatureCachedEvaluator:
         self._pool = _cf.ThreadPoolExecutor(max_workers=num_decode_workers)
 
         model, transform = learner.model, learner.transform
+        mesh_, dp_ = self.mesh, self.dp
 
         def encode_clips(params, batch_stats, clips_u8):
+            if dp_ > 1:
+                # shard the video batch over dp: each chip decodes-transforms-
+                # encodes B/dp videos; the gathered table rows come back
+                # replicated via the concatenate in build_table
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                clips_u8 = jax.lax.with_sharding_constraint(
+                    clips_u8, NamedSharding(mesh_, P("dp")))
             # deterministic eval transform — the rng arg is unused in eval
             # mode (data/transforms.py:episode_device_transform)
             x = episode_device_transform(
@@ -163,9 +189,27 @@ class FeatureCachedEvaluator:
                                          cfg=cfg, train=False)
                 return loss, acc
 
-            return jax.lax.map(
-                one, (su_idx, qu_idx, sup_labels, real_sup, real_tgt,
-                      tgt_labels))
+            args = (su_idx, qu_idx, sup_labels, real_sup, real_tgt,
+                    tgt_labels)
+            if dp_ > 1:
+                # episode axis over dp (the learner.py:_eval_batch_impl
+                # pattern: vmap outer = parallel across chips, lax.map
+                # inner = sequential per chip); the table is replicated —
+                # every chip gathers arbitrary rows
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                E = su_idx.shape[0]
+                spec = NamedSharding(mesh_, P("dp"))
+                args = tuple(
+                    jax.lax.with_sharding_constraint(
+                        a.reshape((dp_, E // dp_) + a.shape[1:]), spec)
+                    for a in args)
+                table = jax.lax.with_sharding_constraint(
+                    table, NamedSharding(mesh_, P()))
+                loss, acc = jax.vmap(
+                    lambda t: jax.lax.map(one, t))(args)
+                return loss.reshape(E), acc.reshape(E)
+            return jax.lax.map(one, args)
 
         self._head_batch = jax.jit(head_batch)
 

@@ -213,22 +213,37 @@ class Learner:
 
     # -- steps -----------------------------------------------------------------
 
-    def _train_step_impl(self, state: TrainState, batch: Episode):
+    def _train_step_impl(self, state: TrainState, batch: Episode,
+                         weights=None):
         """One optimizer step over ``[E, ...]``-batched episodes.
 
         Sequentially scans episodes (the backbone batch inside one episode is
         already large) and sums gradients — the reference's accumulate-16
         loop in one compiled step (reference: run/main_run.py:193-210).
+
+        ``weights`` ([E] float32, default all-ones) masks padded episodes:
+        a zero-weight episode contributes NOTHING — no gradient, no
+        batch-stats update, no metric mass, no episode-counter increment.
+        The trailer of a run whose TRAIN_EPISODES isn't a TASKS_PER_BATCH
+        multiple pads with duplicates to keep the jit shape static
+        (:meth:`run`); the reference instead silently DROPS the trailing
+        partial accumulation (reference: run/main_run.py:204-209) — here the
+        real trailing episodes still train, at full per-episode weight.
         """
         E = batch.support_labels.shape[0]
         M = self.parallel_episodes
+        if weights is None:
+            weights = jnp.ones((E,), jnp.float32)
         rng, step_rng = jax.random.split(state.rng)
         ep_rngs = jax.random.split(step_rng, E)
 
-        def loss_for_grad(params, stats, ep, k):
-            return self._episode_loss(params, stats, ep, k, train=True,
-                                      text_train=state.text_train,
-                                      text_test=state.text_test)
+        def loss_for_grad(params, stats, ep, k, w):
+            loss, (acc, new_stats) = self._episode_loss(
+                params, stats, ep, k, train=True,
+                text_train=state.text_train, text_test=state.text_test)
+            # w scales the episode's loss (hence its gradient); acc carries
+            # the same mass so the metric means divide by sum(weights)
+            return w * loss, (w * acc, new_stats)
 
         vg = jax.value_and_grad(loss_for_grad, has_aux=True)
 
@@ -239,6 +254,7 @@ class Learner:
             batch = jax.tree.map(
                 lambda x: x.reshape((E // M, M) + x.shape[1:]), batch)
             ep_rngs = ep_rngs.reshape(E // M, M, -1)
+            weights = weights.reshape(E // M, M)
             if self.mesh is not None:
                 # pin the concurrent-episode axis to the mesh dp axis; XLA
                 # partitions the microbatch and psums gradients over ICI.
@@ -247,13 +263,21 @@ class Learner:
                 batch = jax.tree.map(
                     lambda x: jax.lax.with_sharding_constraint(x, spec),
                     batch)
-            vg_m = jax.vmap(vg, in_axes=(None, None, 0, 0))
+            vg_m = jax.vmap(vg, in_axes=(None, None, 0, 0, 0))
 
-            def micro(params, stats, eps, ks):
-                (loss, (acc, new_stats)), grads = vg_m(params, stats, eps, ks)
+            def micro(params, stats, eps, ks, ws):
+                (loss, (acc, new_stats)), grads = vg_m(params, stats, eps,
+                                                       ks, ws)
                 grads = jax.tree.map(lambda g: jnp.sum(g, axis=0), grads)
-                new_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0),
-                                         new_stats)
+                # weighted stats mean; an all-padding microbatch keeps the
+                # carried stats (wsum guards the 0/0)
+                wsum = jnp.sum(ws)
+                new_stats = jax.tree.map(
+                    lambda s_old, s_new: jnp.where(
+                        wsum > 0,
+                        jnp.tensordot(ws, s_new, axes=(0, 0))
+                        / jnp.maximum(wsum, 1.0), s_old),
+                    stats, new_stats)
                 return (jnp.sum(loss), (jnp.sum(acc), new_stats)), grads
         else:
             micro = None
@@ -262,10 +286,14 @@ class Learner:
 
         def body(carry, inp):
             grads_acc, stats, loss_acc, acc_acc = carry
-            ep, k = inp
+            ep, k, w = inp
             step_fn = micro if M > 1 else vg
             (loss, (acc, new_stats)), grads = step_fn(state.params, stats,
-                                                      ep, k)
+                                                      ep, k, w)
+            if M == 1:
+                # gate batch-stats on the weight (micro handles M > 1)
+                new_stats = jax.tree.map(lambda o, n: o + w * (n - o),
+                                         stats, new_stats)
             if acc_dt is not None:
                 grads = jax.tree.map(lambda g: g.astype(acc_dt), grads)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
@@ -276,7 +304,7 @@ class Learner:
         init = (zero_grads, state.batch_stats, jnp.asarray(0.0, jnp.float32),
                 jnp.asarray(0.0, jnp.float32))
         (grads, new_stats, loss_sum, acc_sum), _ = jax.lax.scan(
-            body, init, (batch, ep_rngs))
+            body, init, (batch, ep_rngs, weights))
         if acc_dt is not None:
             grads = jax.tree.map(
                 lambda g, p: g.astype(p.dtype), grads, state.params)
@@ -284,10 +312,12 @@ class Learner:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        n_valid = jnp.sum(weights)
         new_state = state.replace(
             params=params, batch_stats=new_stats, opt_state=opt_state,
-            episode=state.episode + E, rng=rng)
-        metrics = {"loss": loss_sum / E, "acc": acc_sum / E}
+            episode=state.episode + n_valid.astype(jnp.int32), rng=rng)
+        denom = jnp.maximum(n_valid, 1.0)
+        metrics = {"loss": loss_sum / denom, "acc": acc_sum / denom}
         return new_state, metrics
 
     def _eval_step_impl(self, state: TrainState, episode: Episode):
@@ -336,14 +366,15 @@ class Learner:
 
     # -- public API --------------------------------------------------------------
 
-    def _step_state(self, batch: Episode):
+    def _step_state(self, batch: Episode, weights=None):
         """One optimizer step, replacing ``self.state``; returns device
         metrics (unfetched). Under donation, a failure after dispatch may
         already have consumed the old state's buffers — surface that
         explicitly instead of leaving later calls to die with opaque
         deleted-buffer errors."""
         try:
-            self.state, metrics = self._train_step(self.state, batch)
+            self.state, metrics = self._train_step(self.state, batch,
+                                                   weights)
             return metrics
         except Exception as e:
             if self._donate:
@@ -355,16 +386,27 @@ class Learner:
                     "false)") from e
             raise
 
-    def train_episodes(self, episodes) -> Dict[str, float]:
-        """Consume a list/batch of episodes as one optimizer step."""
+    def train_episodes(self, episodes,
+                       n_valid: Optional[int] = None) -> Dict[str, float]:
+        """Consume a list/batch of episodes as one optimizer step.
+
+        ``n_valid`` marks only the first n episodes as real — the rest are
+        shape-padding duplicates whose gradients/metrics are masked to zero
+        (see :meth:`_train_step_impl`)."""
         from ..data.episode import stack_episodes
 
         if isinstance(episodes, Episode):
             batch = episodes
+            E = int(batch.support_labels.shape[0])
         else:
             # stack on host, transfer once (see data/episode.py)
+            E = len(episodes)
             batch = _device_episode(stack_episodes(episodes))
-        metrics = self._step_state(batch)
+        weights = None
+        if n_valid is not None and n_valid < E:
+            weights = np.zeros((E,), np.float32)
+            weights[:n_valid] = 1.0
+        metrics = self._step_state(batch, weights)
         return {k: float(v) for k, v in metrics.items()}
 
     def evaluate(self, n_episodes: int,
@@ -493,10 +535,16 @@ class Learner:
         # print/val/checkpoint boundaries.
         def _stage(n):
             eps = [next(it) for _ in range(n)]
+            w = None
             if len(eps) < tpb:
-                # keep static shapes: pad the final partial batch
+                # keep static shapes: pad the final partial batch with
+                # duplicates, masked to zero weight in the train step (the
+                # reference drops the trailing partial accumulation instead,
+                # run/main_run.py:204-209)
                 eps = eps + [eps[-1]] * (tpb - len(eps))
-            return _device_episode(stack_episodes(eps))
+                w = np.zeros((tpb,), np.float32)
+                w[:n] = 1.0
+            return _device_episode(stack_episodes(eps)), w, n
 
         def _harvest(p):
             dm, ep = p
@@ -521,20 +569,21 @@ class Learner:
             fut = stager.submit(_stage, min(tpb, total - episode))
             while episode < total:
                 t_w = _time.perf_counter()
-                batch = fut.result()
+                batch, w, n = fut.result()
                 stall_s += _time.perf_counter() - t_w
-                nxt = episode + tpb
+                nxt = episode + n
                 if nxt < total:
                     fut = stager.submit(_stage, min(tpb, total - nxt))
                 if profile_dir and not profiled and episode > 0:
                     from ..utils.metrics import profile_trace
 
                     with profile_trace(profile_dir):
-                        dm = self.train_episodes(batch)  # sync, floats
+                        dm = {k: float(v) for k, v in
+                              self._step_state(batch, w).items()}  # sync
                     profiled = True
                     self.log(f"profiler trace written to {profile_dir}")
                 else:
-                    dm = self._step_state(batch)
+                    dm = self._step_state(batch, w)
                 episode = nxt
                 if pending is not None:
                     _harvest(pending)

@@ -174,15 +174,62 @@ def build_catalog_and_sampler(cfg, mode: str, train: bool, queries: int
     return catalog, sampler
 
 
+def build_device_mesh(cfg):
+    """Config-driven device mesh: ``DEVICE.NUM_CHIPS`` (data-parallel width)
+    x ``DEVICE.TP`` (megatron tensor-parallel width, parallel/tensor.py).
+
+    Returns None at 1x1 (single-device execution, no mesh machinery). The
+    reference gates its only parallelism the same way — on
+    ``DEVICE.NUM_GPUS > 1`` (reference: run/main_run.py:133-134) — but via
+    host-side DataParallel; here the mesh makes the jitted train/eval steps
+    SPMD programs over ICI. Errors loudly when the config asks for more
+    devices than exist or for a non-divisible episode batch: a silently
+    ignored parallelism knob runs a wrong experiment scale.
+    """
+    device = cfg.get("DEVICE", {}) or {}
+    n_dp = int(device.get("NUM_CHIPS", 1) or 1)
+    n_tp = int(device.get("TP", 1) or 1)
+    if n_dp < 1 or n_tp < 1:
+        raise ValueError(f"DEVICE.NUM_CHIPS={n_dp} / DEVICE.TP={n_tp} must "
+                         "be >= 1")
+    if n_dp * n_tp == 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n_avail = len(jax.devices())
+    if n_dp * n_tp > n_avail:
+        raise ValueError(
+            f"DEVICE.NUM_CHIPS={n_dp} x DEVICE.TP={n_tp} needs "
+            f"{n_dp * n_tp} devices but only {n_avail} are visible — fix "
+            "the config or run on a host with enough chips")
+    tpb = int(cfg.TRAIN.TASKS_PER_BATCH)
+    if not bool(cfg.TEST.ONLY_TEST) and tpb % n_dp:
+        raise ValueError(
+            f"TRAIN.TASKS_PER_BATCH={tpb} is not divisible by "
+            f"DEVICE.NUM_CHIPS={n_dp}: the optimizer step shards "
+            f"{n_dp} concurrent episodes per microstep, so the episode "
+            "batch must split evenly across chips")
+    return make_mesh(n_dp=n_dp, n_tp=n_tp)
+
+
 def build_learner(cfg, log_fn=print,
                   allow_random_weights: bool = False) -> Learner:
-    """Full production wiring: data + model + weights + text tables.
+    """Full production wiring: data + model + weights + text tables + the
+    config-driven device mesh (``DEVICE.NUM_CHIPS`` x ``DEVICE.TP``).
 
     ``allow_random_weights`` (CLI ``--allow-random-weights`` or cfg
     ``MODEL.ALLOW_RANDOM_WEIGHTS``) permits running a CLIP head without
     pretrained weights / the OpenAI BPE vocab — otherwise evaluation of a
     CLIP head in that state raises :class:`DegradedModeError`.
     """
+    # mesh first: an unsatisfiable DEVICE config must fail before any
+    # loader threads / device buffers exist
+    mesh = build_device_mesh(cfg)
+    if mesh is not None:
+        log_fn(f"device mesh: dp={mesh.shape['dp']} x tp={mesh.shape['tp']} "
+               f"({mesh.shape['dp'] * mesh.shape['tp']} devices)")
     rng = jax.random.PRNGKey(int(cfg.MODEL.SEED))
     model = build_model(cfg)
     variables = init_model_variables(cfg, model, rng)
@@ -238,4 +285,4 @@ def build_learner(cfg, log_fn=print,
 
     return Learner(cfg, model, variables, train_source=train_loader,
                    test_source=test_loader, text_train=text_train,
-                   text_test=text_test, log_fn=log_fn)
+                   text_test=text_test, mesh=mesh, log_fn=log_fn)

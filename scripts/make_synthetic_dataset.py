@@ -25,8 +25,15 @@ import os
 def make_dataset(root: str, classes: int = 4, videos: int = 6,
                  frames: int = 6, size: int = 48, dataset: str = "hmdb",
                  img_size: int = 32, seq_len: int = 4,
-                 quality: int = 80, disjoint_test: bool = True) -> str:
-    """Write the dataset + a tiny config; returns the config path."""
+                 quality: int = 80, disjoint_test: bool = True,
+                 test_videos: int = 0) -> str:
+    """Write the dataset + a tiny config; returns the config path.
+
+    ``test_videos`` overrides the per-class video count of the TEST split
+    only (0 = same as ``videos``) — the measured 10k-episode protocol
+    (bench.py) wants a reference-scale test split (HMDB: 1292 test videos
+    over 10 classes) without paying to write an equally large train split.
+    """
     import numpy as np
     from PIL import Image
 
@@ -37,6 +44,7 @@ def make_dataset(root: str, classes: int = 4, videos: int = 6,
     rng = np.random.default_rng(0)
 
     for mode in ("train", "test"):
+        n_videos = test_videos if (mode == "test" and test_videos) else videos
         lines = []
         for c in range(classes):
             cname = f"class{c:02d}"
@@ -49,7 +57,7 @@ def make_dataset(root: str, classes: int = 4, videos: int = 6,
             off = classes if (mode == "test" and disjoint_test) else 0
             hue = (c + off) / (2 * classes)
             base = np.array([hue * 255, (1 - hue) * 255, 128.0])
-            for v in range(videos):
+            for v in range(n_videos):
                 vid = f"v{v:03d}"
                 vdir = os.path.join(root, frame_dir, mode, cname, vid)
                 os.makedirs(vdir, exist_ok=True)

@@ -194,6 +194,70 @@ def test_cached_eval_matches_uncached(disk_dataset, name):
     np.testing.assert_allclose(got["loss"], ref["loss"], atol=1e-4)
 
 
+def test_cached_eval_matches_under_dp_mesh(disk_dataset):
+    """Mesh-aware cached eval: under a dp=4 mesh (table-encode batch and
+    head episode axis sharded over dp, table replicated) the metrics must
+    equal the unmeshed cached run on the identical stream — sharding is a
+    layout change, not a semantic one."""
+    import jax as _jax
+
+    from clipspm_tpu.parallel import make_mesh
+    from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
+
+    n_eps = 8
+
+    catalog, sampler = _catalog_sampler(disk_dataset)
+    learner = _build_learner(None)
+    ev = FeatureCachedEvaluator(learner, catalog, sampler,
+                                encode_videos_per_step=4, eval_batch=4,
+                                log_fn=lambda *_: None)
+    try:
+        ref = ev.evaluate(n_eps)
+    finally:
+        ev.close()
+
+    mesh = make_mesh(n_dp=4, n_tp=1,
+                     devices=_jax.devices("cpu")[:4])
+    catalog2, sampler2 = _catalog_sampler(disk_dataset)
+    learner2 = _build_learner(None)
+    ev_dp = FeatureCachedEvaluator(learner2, catalog2, sampler2,
+                                   encode_videos_per_step=4, eval_batch=4,
+                                   mesh=mesh, log_fn=lambda *_: None)
+    assert ev_dp.dp == 4
+    try:
+        got = ev_dp.evaluate(n_eps)
+    finally:
+        ev_dp.close()
+    np.testing.assert_allclose(got["accuracy"], ref["accuracy"], atol=1e-3)
+    np.testing.assert_allclose(got["loss"], ref["loss"], atol=1e-4)
+
+
+def test_cached_evaluator_inherits_learner_mesh(disk_dataset):
+    """The CLI constructs the evaluator without a mesh argument — it must
+    pick up the learner's config-driven mesh (and round its batch sizes up
+    to dp multiples)."""
+    import jax as _jax
+
+    from clipspm_tpu.parallel import make_mesh
+    from clipspm_tpu.train.feature_cache import FeatureCachedEvaluator
+
+    catalog, sampler = _catalog_sampler(disk_dataset)
+    learner = _build_learner(None)
+    learner.mesh = make_mesh(n_dp=2, n_tp=1,
+                             devices=_jax.devices("cpu")[:2])
+    ev = FeatureCachedEvaluator(learner, catalog, sampler,
+                                encode_videos_per_step=5, eval_batch=3,
+                                log_fn=lambda *_: None)
+    try:
+        assert ev.dp == 2
+        assert ev.encode_videos_per_step == 6   # 5 rounded up to dp multiple
+        assert ev.eval_batch == 4
+        got = ev.evaluate(4)
+    finally:
+        ev.close()
+    assert np.isfinite(got["loss"])
+
+
 def test_run_val_fn_overrides_validation():
     """Learner.run(val_fn=...) must route mid-train validations through the
     hook (the CLI passes the feature-cached evaluator here) and use its
