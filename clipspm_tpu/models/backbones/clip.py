@@ -512,5 +512,7 @@ def init_clip_params(model: CLIPModel, rng: jax.Array):
     img = jnp.zeros((1, a.image_resolution, a.image_resolution, 3),
                     model.dtype)
     txt = jnp.zeros((1, a.context_length), jnp.int32)
-    variables = model.init({"params": rng}, img, txt)
+    # jitted: eager init costs one tunnel round-trip PER OP on a remote
+    # backend (minutes for the full CLIP tower); jitted it is one dispatch
+    variables = jax.jit(model.init)({"params": rng}, img, txt)
     return variables

@@ -113,7 +113,11 @@ def init_model_variables(cfg, model, rng: jax.Array) -> dict:
         jnp.zeros((1, dim), jnp.float32),
         jnp.zeros((1, dim), jnp.float32),
     )
-    return model.init(rng, *dummy)
+    # jit the init: eager flax init dispatches every op round-trip through
+    # the tunneled backend (~10 ms/call x thousands of ops ≈ minutes for a
+    # CLIP-scale model); one jitted dispatch also hits the persistent
+    # compile cache on later runs
+    return jax.jit(model.init)(rng, *dummy)
 
 
 def loader_prefetch(cfg, train: bool) -> int:
