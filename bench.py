@@ -46,6 +46,9 @@ backbone (default ViT-B/16; RN50 benches the ModifiedResNet tower);
 ``BENCH_SINGLE=0`` / ``BENCH_INT8=0`` / ``BENCH_RN50=0`` /
 ``BENCH_CACHED=0`` skip those extra eval stages (``BENCH_CACHED_VIDEOS``
 sizes the feature-cache stage's unique-video table, default 120);
+``BENCH_CACHED_10K=0`` skips the measured 10k-protocol CLI subprocess
+(which otherwise runs FIRST, before this process contacts the exclusive
+tunnel; ``BENCH_10K_EPISODES`` / ``BENCH_10K_ROOT`` size it);
 ``BENCH_TRAIN_SINGLE=0`` skips the per-episode train stage
 (keeps A/B sweeps of the accumulated step to one backward compile);
 ``BENCH_DEADLINE_S`` the wall-clock budget (0 = no deadline).
@@ -339,27 +342,151 @@ def _bench_train_accum(jax, jnp, model, variables, episodes, n_staged, text,
         ts.append(time.perf_counter() - t0)
     t = float(np.median(ts))
 
-    # Train MFU accounting: XLA's own cost analysis of the compiled step —
-    # fwd + bwd + the remat policy's recompute (the recompute is IN the
-    # HLO, so the count is the FLOPs the chip actually executes). Divided
-    # by the measured step wall and the chip's bf16 peak (v5e: 197 TFLOP/s;
-    # override with BENCH_PEAK_TFLOPS on other chips).
+    # Train MFU accounting — HAND-COUNTED dominant matmul FLOPs. XLA's
+    # `compiled.cost_analysis()` is unusable for this program: it counts
+    # each `lax.scan` BODY once, not x trip count, and this step nests two
+    # scans (E-episode gradient accumulation x chunked encode) — it
+    # reported 5.65 TFLOP where the analytic count is ~490 (measured here,
+    # round 5). Count: per-frame ViT encoder matmul FLOPs x frames x
+    # (fwd 1 + bwd 2 + the remat policy's fwd recompute); conv stem /
+    # matching head / norms are <2% and excluded, so the number is a
+    # slight UNDER-estimate of the chip's executed FLOPs.
     mfu = None
-    try:
-        cost = learner._train_step.lower(
-            learner.state, batches[0]).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        flops = float((cost or {}).get("flops", 0.0))
-        if flops > 0:
-            tflops = flops / t / 1e12
-            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
-            mfu = {"train_step_tflop": round(flops / 1e12, 2),
-                   "train_achieved_tflops": round(tflops, 1),
-                   "train_mfu_pct": round(100.0 * tflops / peak, 1)}
-    except Exception:  # pragma: no cover - backend-dependent API
-        mfu = None
+    arch = getattr(model, "arch", None)
+    if arch is not None and arch.is_vit:
+        D = arch.vision_width
+        P = arch.vision_patch_size
+        L = (224 // P) ** 2 + 1
+        per_block = 12 * L * D * D + 2 * L * L * D            # MACs
+        attn = 4 * L * D * D + 2 * L * L * D                  # qkv+scores+av+proj
+        fwd = 2.0 * arch.vision_layers * per_block            # FLOPs/frame
+        # backward ~2x fwd; remat recompute re-runs the chunk-body fwd
+        # minus what the policy saved (visual.encode_chunked)
+        policy = getattr(model, "train_remat_policy", "full")
+        chunked = int(getattr(model, "train_encode_chunk", 0) or 0) > 0
+        saved_share = {"full": 0.0,
+                       "attn": (2 * L * L * D) / per_block,
+                       "attn_out": attn / per_block,
+                       "mlp": (attn + 4 * L * D * D) / per_block}
+        recompute = (1.0 - saved_share.get(policy, 0.0)) if chunked else 0.0
+        S_f = int(batches[0].support_images.shape[1])
+        Q_f = int(batches[0].target_images.shape[1])
+        T_f = int(batches[0].support_images.shape[2])
+        frames = (S_f + Q_f) * T_f
+        step_flops = E * frames * fwd * (3.0 + recompute)
+        tflops = step_flops / t / 1e12
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+        mfu = {"train_step_tflop": round(step_flops / 1e12, 1),
+               "train_flops_factor": round(3.0 + recompute, 2),
+               "train_achieved_tflops": round(tflops, 1),
+               "train_mfu_pct": round(100.0 * tflops / peak, 1)}
     return E / t, compile_s, E, mfu
+
+
+def _bench_cached_10k_subprocess(time_left):
+    """The LITERAL published protocol, measured — not derived: 10,000
+    episodes end-to-end through the shipped CLI (TEST.ONLY_TEST + the
+    default-on TEST.CACHE_FEATURES) over a reference-scale on-disk test
+    split (HMDB test = 1292 videos / 10 classes; reference
+    configs/base.yaml:30 TEST_EPISODES=10000) at full production shape
+    (ViT-B/16 5w5s1q, T=8, 224², 1300 unique videos).
+
+    Runs in a FRESH subprocess BEFORE this process contacts the device,
+    for two measured reasons (round 5): the axon tunnel is EXCLUSIVE — a
+    second client hangs while the first holds it — and an in-process run
+    after the other bench stages measures this process's accumulated HBM
+    pressure, not the protocol (head stage: 14.2 eps/s in-process after
+    all stages vs 2201 eps/s in a fresh process at identical shapes).
+    A fresh CLI process is also the honest unit: it is exactly what a
+    user runs. `cached_10k_protocol_measured_s` = plan + decode/encode +
+    head from the CLI's own log line; `cached_10k_cli_wall_s` adds model
+    build. The dataset is written once (host-only, no jax) and reused;
+    the result is carried across a bench re-exec via BENCH_10K_RESULT."""
+    import re as _re
+    import shutil
+    import subprocess
+
+    prev = os.environ.get("BENCH_10K_RESULT")
+    if prev:
+        try:
+            return json.loads(prev)
+        except Exception:
+            pass
+    extras = {}
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from make_synthetic_dataset import make_dataset
+
+        root = os.environ.get("BENCH_10K_ROOT", "/tmp/bench_10k_ds")
+        marker = os.path.join(root, "hmdb_256x256q5_l8", "test",
+                              "class09", "v129")
+        if not os.path.isdir(marker):
+            t_ds = time.perf_counter()
+            make_dataset(root, classes=10, videos=6, test_videos=130,
+                         frames=12, size=256, img_size=224, seq_len=8)
+            extras["cached_10k_dataset_write_s"] = round(
+                time.perf_counter() - t_ds, 1)
+        ck = os.path.join(root, "ck10k")
+        shutil.rmtree(ck, ignore_errors=True)
+        n_eps = int(os.environ.get("BENCH_10K_EPISODES", "10000"))
+        # model build through a cold tunnel can alone cost ~500 s (the
+        # fp32 param H2D rides a 1.6-47 MB/s link); bound the stage so a
+        # sick tunnel cannot eat the whole bench budget
+        budget = time_left() - 350.0
+        timeout = min(900.0, max(300.0, budget))
+        cmd = [sys.executable, "-m", "clipspm_tpu.cli.run",
+               "--cfg", os.path.join(root, "tiny.yaml"),
+               "--splits-root", root, "--allow-random-weights",
+               f"CHECKPOINT.CHECKPOINT_DIR={ck}",
+               "MODEL.BACKBONE=ViT-B/16", "USE_AMP=true",
+               "TRAIN.WAY=5", "TRAIN.SHOT=5",
+               "TEST.QUERY_PER_CLASS=1", "TEST.ONLY_TEST=true",
+               f"TEST.TEST_EPISODES={n_eps}",
+               "TEST.CACHE_FEATURES=true",
+               "TEST.CACHE_ENCODE_VIDEOS=60",
+               "TEST.CACHE_EVAL_BATCH=250",
+               "DATA.IMG_SIZE=224", "DATA.SEQ_LEN=8",
+               "DATA.NUM_WORKERS=8"]
+        t0 = time.perf_counter()
+        r = subprocess.run(cmd, cwd=here, timeout=timeout,
+                           capture_output=True, text=True)
+        cli_wall = time.perf_counter() - t0
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"CLI rc={r.returncode}: {(r.stderr or '')[-300:]}")
+        with open(os.path.join(ck, "log.txt")) as f:
+            logtxt = f.read()
+        m = _re.search(
+            r"feature-cached eval: (\d+) episodes over (\d+) unique "
+            r"videos — plan ([\d.]+)s, encode ([\d.]+)s "
+            r"\(([\d.]+) frames/s\), head ([\d.]+)s "
+            r"\(([\d.]+) eps/s\)", logtxt)
+        if m is None:
+            raise RuntimeError("cached-eval line missing from CLI log")
+        plan_s, enc_s, head_s = (float(m.group(3)), float(m.group(4)),
+                                 float(m.group(6)))
+        measured = plan_s + enc_s + head_s
+        extras["cached_10k_protocol_measured_s"] = round(measured, 1)
+        extras["cached_10k_measured_eps_per_sec"] = round(
+            int(m.group(1)) / measured, 1)
+        extras["cached_10k_unique_videos"] = int(m.group(2))
+        extras["cached_10k_stage_plan_s"] = round(plan_s, 1)
+        extras["cached_10k_stage_encode_s"] = round(enc_s, 1)
+        extras["cached_10k_stage_encode_fps"] = round(float(m.group(5)), 1)
+        extras["cached_10k_stage_head_s"] = round(head_s, 1)
+        extras["cached_10k_stage_head_eps_per_sec"] = round(
+            float(m.group(7)), 1)
+        extras["cached_10k_cli_wall_s"] = round(cli_wall, 1)
+        print(f"[bench] 10k protocol subprocess: measured {measured:.1f}s "
+              f"(cli wall {cli_wall:.1f}s)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - depends on chip state
+        extras["cached_10k_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(f"[bench] 10k protocol subprocess failed: "
+              f"{extras['cached_10k_bench_error']}", file=sys.stderr)
+    sys.stderr.flush()
+    os.environ["BENCH_10K_RESULT"] = json.dumps(extras)
+    return extras
 
 
 def bench_e2e(quick: bool):
@@ -449,7 +576,7 @@ def bench_e2e(quick: bool):
     h2d_mbps = sb.support_images.nbytes / 1e6 / (time.perf_counter() - t0)
 
     b0 = next_batch()
-    variables = model.init(jax.random.PRNGKey(0),
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                            jnp.zeros((S, T, img, img, 3), jnp.bfloat16),
                            jnp.zeros((Q, T, img, img, 3), jnp.bfloat16),
                            b0[2][0], b0[3][0], b0[4][0], text, text)
@@ -514,6 +641,20 @@ def main():
             return float("inf")
         return deadline - (time.perf_counter() - t_start)
 
+    # 10k-protocol stage FIRST, in a fresh subprocess, before this process
+    # makes any device contact: the axon tunnel is exclusive (a second
+    # client hangs while the first holds one), so the only window for a
+    # clean-process measurement is before our own client exists.
+    ten_k = {}
+    arch_name = os.environ.get("BENCH_ARCH", "ViT-B/16")
+    if (not quick and arch_name == "ViT-B/16"
+            and os.environ.get("BENCH_CACHED_10K", "1") == "1"):
+        if time_left() > 650 or deadline <= 0:
+            ten_k = _bench_cached_10k_subprocess(time_left)
+        else:
+            ten_k = {"cached_10k_skipped":
+                     f"deadline ({time_left():.0f}s left)"}
+
     import jax
     import jax.numpy as jnp
     from clipspm_tpu.data import SyntheticEpisodeSource
@@ -541,7 +682,6 @@ def main():
     # BENCH_ARCH=RN50 benches the reference's other headline backbone (the
     # CLIP ModifiedResNet tower); chunking defaults are ViT-measured, so
     # RN50 runs unchunked unless BENCH_CHUNK is set.
-    arch_name = os.environ.get("BENCH_ARCH", "ViT-B/16")
     is_vit = CLIP_ARCHS[arch_name].is_vit
     chunk = int(os.environ.get("BENCH_CHUNK", "30" if is_vit else "0"))
     E = int(os.environ.get("BENCH_E", "16" if quick else "32"))
@@ -580,7 +720,8 @@ def main():
         jnp.zeros((Q,), jnp.int32),
         text, text,
     )
-    variables = model.init(rng, *dummy)
+    # jitted init: eager flax init is one tunnel round-trip per op
+    variables = jax.jit(model.init)(rng, *dummy)
 
     @jax.jit
     def eval_episode(variables, sup_u8, tgt_u8, sup_labels, real_sup,
@@ -633,6 +774,7 @@ def main():
         "encode_chunk": chunk,
         "device": str(jax.devices()[0]),
     }
+    extras.update(ten_k)   # measured 10k protocol (fresh-subprocess stage)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -778,7 +920,7 @@ def main():
             rn_D = rn.embed_dim
             rn_text = jax.random.normal(jax.random.PRNGKey(1), (16, rn_D),
                                         jnp.bfloat16)
-            rn_vars = rn_model.init(
+            rn_vars = jax.jit(rn_model.init)(
                 rng, dummy[0], dummy[1], dummy[2], dummy[3], dummy[4],
                 rn_text, rn_text)
 
@@ -879,77 +1021,6 @@ def main():
                 n_proto / (t_table + n_proto / head_eps), 1)
         except Exception as e:  # pragma: no cover - depends on chip state
             extras["cached_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-        emit()
-
-    if is_vit and os.environ.get("BENCH_CACHED_10K", "1") == "1" and \
-            stage_fits("cached_10k", 300):
-        # The LITERAL published protocol, measured — not derived: 10,000
-        # episodes end-to-end through the shipped CLI (TEST.ONLY_TEST +
-        # the default-on TEST.CACHE_FEATURES) over a reference-scale
-        # on-disk test split (HMDB test = 1292 videos / 10 classes;
-        # reference configs/base.yaml:30 TEST_EPISODES=10000) at full
-        # production shape (ViT-B/16 5w5s1q, T=8, 224², 1300 unique
-        # videos). `cached_10k_protocol_measured_s` includes host decode,
-        # H2D, table encode and the head sweep; the `_stage_` extras
-        # decompose it. The dataset is written once and reused.
-        try:
-            import re as _re
-            import shutil
-
-            sys.path.insert(0, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "scripts"))
-            from make_synthetic_dataset import make_dataset
-
-            from clipspm_tpu.cli.run import main as cli_main
-
-            root = os.environ.get("BENCH_10K_ROOT", "/tmp/bench_10k_ds")
-            marker = os.path.join(root, "hmdb_256x256q5_l8", "test",
-                                  "class09", "v129")
-            if not os.path.isdir(marker):
-                t_ds = time.perf_counter()
-                make_dataset(root, classes=10, videos=6, test_videos=130,
-                             frames=12, size=256, img_size=224, seq_len=8)
-                extras["cached_10k_dataset_write_s"] = round(
-                    time.perf_counter() - t_ds, 1)
-            ck = os.path.join(root, "ck10k")
-            shutil.rmtree(ck, ignore_errors=True)
-            n_eps = int(os.environ.get("BENCH_10K_EPISODES", "10000"))
-            t0 = time.perf_counter()
-            cli_main(["--cfg", os.path.join(root, "tiny.yaml"),
-                      "--splits-root", root, "--allow-random-weights",
-                      f"CHECKPOINT.CHECKPOINT_DIR={ck}",
-                      "MODEL.BACKBONE=ViT-B/16", "USE_AMP=true",
-                      "TRAIN.WAY=5", "TRAIN.SHOT=5",
-                      "TEST.QUERY_PER_CLASS=1", "TEST.ONLY_TEST=true",
-                      f"TEST.TEST_EPISODES={n_eps}",
-                      "TEST.CACHE_FEATURES=true",
-                      "TEST.CACHE_ENCODE_VIDEOS=60",
-                      "TEST.CACHE_EVAL_BATCH=250",
-                      "DATA.IMG_SIZE=224", "DATA.SEQ_LEN=8",
-                      "DATA.NUM_WORKERS=8"])
-            cli_wall = time.perf_counter() - t0
-            with open(os.path.join(ck, "log.txt")) as f:
-                logtxt = f.read()
-            m = _re.search(
-                r"feature-cached eval: (\d+) episodes over (\d+) unique "
-                r"videos — plan ([\d.]+)s, encode ([\d.]+)s "
-                r"\(([\d.]+) frames/s\), head ([\d.]+)s "
-                r"\(([\d.]+) eps/s\)", logtxt)
-            if m is None:
-                raise RuntimeError("cached-eval line missing from CLI log")
-            plan_s, enc_s, head_s = (float(m.group(3)), float(m.group(4)),
-                                     float(m.group(6)))
-            measured = plan_s + enc_s + head_s
-            extras["cached_10k_protocol_measured_s"] = round(measured, 1)
-            extras["cached_10k_measured_eps_per_sec"] = round(
-                int(m.group(1)) / measured, 1)
-            extras["cached_10k_unique_videos"] = int(m.group(2))
-            extras["cached_10k_stage_plan_s"] = round(plan_s, 1)
-            extras["cached_10k_stage_encode_s"] = round(enc_s, 1)
-            extras["cached_10k_stage_head_s"] = round(head_s, 1)
-            extras["cached_10k_cli_wall_s"] = round(cli_wall, 1)
-        except Exception as e:  # pragma: no cover - depends on chip state
-            extras["cached_10k_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         emit()
 
     extras["bench_wall_s"] = round(time.perf_counter() - t_start, 1)

@@ -44,6 +44,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    # per-host persistent compile cache (utils/cache.py): production runs
+    # should never pay a repeat compile; the fingerprinted path also keeps
+    # a live-migrated guest from loading a foreign host's CPU AOT artifacts
+    from clipspm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from clipspm_tpu.utils.config import load_config
     from clipspm_tpu.train.setup import build_learner
     from clipspm_tpu.train.checkpoint import CheckpointManager

@@ -71,7 +71,7 @@ def run_arm(donate: bool, args):
              jnp.arange(S, dtype=jnp.int32) % way,
              jnp.zeros((S,), jnp.int32), jnp.zeros((Q,), jnp.int32),
              jnp.asarray(text), jnp.asarray(text))
-    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
     cfg = ConfigNode({
         "MODEL": {"NAME": "clipspm", "BACKBONE": args.arch, "SEED": 0},
         "TRAIN": {"WAY": way, "SHOT": shot, "TASKS_PER_BATCH": E},

@@ -52,7 +52,7 @@ def capture(E: int, out_dir: str, train: bool = False) -> float:
              jnp.arange(S, dtype=jnp.int32) % way,
              jnp.zeros((S,), jnp.int32), jnp.zeros((Q,), jnp.int32),
              text, text)
-    variables = model.init(jax.random.PRNGKey(0), *dummy)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *dummy)
 
     def eval_episode(v, sup_u8, tgt_u8, sl, rs, rt):
         sup = episode_device_transform(sup_u8, key, train=False,

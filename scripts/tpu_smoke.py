@@ -89,7 +89,7 @@ def smoke_one(name: str, way=5, shot=5, queries=1, T=8, img=224,
         jnp.asarray(rng.normal(size=(16, D)), jnp.bfloat16),
     )
     t0 = time.perf_counter()
-    variables = model.init(jax.random.PRNGKey(0), *args)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
     init_s = time.perf_counter() - t0
 
     fwd = jax.jit(lambda v, *a: model.apply(v, *a, train=False)["logits"])
