@@ -234,9 +234,20 @@ def build_learner(cfg, log_fn=print,
     if mesh is not None:
         log_fn(f"device mesh: dp={mesh.shape['dp']} x tp={mesh.shape['tp']} "
                f"({mesh.shape['dp'] * mesh.shape['tp']} devices)")
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(stage):
+        nonlocal _t0
+        now = _time.perf_counter()
+        log_fn(f"build_learner: {stage} in {now - _t0:.1f}s")
+        _t0 = now
+
     rng = jax.random.PRNGKey(int(cfg.MODEL.SEED))
     model = build_model(cfg)
     variables = init_model_variables(cfg, model, rng)
+    _mark("model init")
     allow_random_weights = (allow_random_weights
                             or bool(cfg.MODEL.get("ALLOW_RANDOM_WEIGHTS",
                                                   False)))
@@ -271,8 +282,10 @@ def build_learner(cfg, log_fn=print,
                     f" degraded state: {msg}. Pass --allow-random-weights to"
                     " override.")
             log_fn(f"WARNING: degraded CLIP setup — {msg}")
+        _mark("CLIP tower init")
         variables = splice_backbone(variables, clip_vars)
         text_train, text_test = build_text_tables(cfg, clip_model, clip_vars)
+        _mark("text tables")
 
     only_test = bool(cfg.TEST.ONLY_TEST)
     num_workers = int(cfg.DATA.NUM_WORKERS)
@@ -286,6 +299,7 @@ def build_learner(cfg, log_fn=print,
     test_loader = make_loader("test", False, int(cfg.TEST.QUERY_PER_CLASS))
     train_loader = None if only_test else make_loader(
         "train", True, int(cfg.TRAIN.QUERY_PER_CLASS))
+    _mark("loaders")
 
     return Learner(cfg, model, variables, train_source=train_loader,
                    test_source=test_loader, text_train=text_train,
