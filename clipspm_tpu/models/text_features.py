@@ -34,14 +34,26 @@ PROMPT_TEMPLATES: List[str] = [
 SINGLE_TEMPLATE = ["a photo of {}"]
 
 
-def encode_class_text_features(model: CLIPModel, variables,
-                               class_names: Sequence[str],
-                               templates: Optional[Sequence[str]] = None,
-                               tokenizer: Optional[SimpleTokenizer] = None,
-                               batch_size: int = 512) -> jnp.ndarray:
-    """Returns the ``[num_classes, embed_dim]`` template-averaged table."""
+def encode_class_text_tables(model: CLIPModel, variables,
+                             name_lists: Sequence[Sequence[str]],
+                             templates: Optional[Sequence[str]] = None,
+                             tokenizer: Optional[SimpleTokenizer] = None,
+                             batch_size: int = 512) -> List[jnp.ndarray]:
+    """Encode several class-name lists (train + test) in ONE padded-batch
+    stream and return one ``[num_classes, embed_dim]`` template-averaged
+    table per list.
+
+    Every chunk is padded to a single static ``[b, context]`` shape: a
+    remote-TPU compile of the full text tower costs MINUTES per DISTINCT
+    batch shape, and the natural shapes all differ (trailing partial
+    chunk; train vs test class counts) — encoded separately and unpadded,
+    one CLI startup paid up to four text-tower compiles (the dominant
+    slice of an ~11-minute ``build_learner``, measured round 5). Padded
+    rows cost microseconds of MXU time and are dropped on the spot.
+    """
     templates = list(templates or PROMPT_TEMPLATES)
-    prompts = [t.format(name) for t in templates for name in class_names]
+    prompts = [t.format(name) for names in name_lists
+               for t in templates for name in names]
     if tokenizer is None and model.arch.vocab_size != 49408:
         # non-standard (test) vocab: build a tokenizer whose ids fit the
         # model's token embedding table
@@ -51,9 +63,35 @@ def encode_class_text_features(model: CLIPModel, variables,
 
     encode = jax.jit(lambda toks: model.apply(
         variables, toks, method=model.encode_text))
+
+    b = min(batch_size, max(8, tokens.shape[0]))
     feats = []
-    for i in range(0, tokens.shape[0], batch_size):
-        feats.append(encode(jnp.asarray(tokens[i: i + batch_size])))
-    table = jnp.concatenate(feats, axis=0)
-    table = table.reshape(len(templates), len(class_names), -1)
-    return table.mean(axis=0)
+    for i in range(0, tokens.shape[0], b):
+        chunk = np.asarray(tokens[i: i + b])
+        n = chunk.shape[0]
+        if n < b:
+            chunk = np.concatenate(
+                [chunk, np.zeros((b - n,) + chunk.shape[1:],
+                                 chunk.dtype)], axis=0)
+        feats.append(encode(jnp.asarray(chunk))[:n])
+    flat = jnp.concatenate(feats, axis=0)
+
+    tables: List[jnp.ndarray] = []
+    off = 0
+    for names in name_lists:
+        block = flat[off: off + len(templates) * len(names)]
+        off += block.shape[0]
+        tables.append(
+            block.reshape(len(templates), len(names), -1).mean(axis=0))
+    return tables
+
+
+def encode_class_text_features(model: CLIPModel, variables,
+                               class_names: Sequence[str],
+                               templates: Optional[Sequence[str]] = None,
+                               tokenizer: Optional[SimpleTokenizer] = None,
+                               batch_size: int = 512) -> jnp.ndarray:
+    """Returns the ``[num_classes, embed_dim]`` template-averaged table."""
+    return encode_class_text_tables(
+        model, variables, [class_names], templates,
+        tokenizer=tokenizer, batch_size=batch_size)[0]

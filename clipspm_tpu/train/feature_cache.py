@@ -145,6 +145,23 @@ class FeatureCachedEvaluator:
         model, transform = learner.model, learner.transform
         mesh_, dp_ = self.mesh, self.dp
 
+        # Host-side center crop (bit-exact H2D cut): when decoded frames are
+        # square at exactly ``resize_to``, the device transform's
+        # resize_short_side is an identity (data/transforms.py:41) and
+        # center_crop is a pure slice with offset (H-size)//2 — the same
+        # numpy slice on the host uint8 array yields byte-identical model
+        # input while shipping (img/resize_to)^2 of the pixels (224/256:
+        # -23% host->device bytes; the tunneled table encode is
+        # transfer-bound). ``_crop_off`` doubles as the enable flag.
+        self._crop_off = None
+        if (self.frame_size is not None
+                and self.frame_size[0] == self.frame_size[1] == int(
+                    transform.resize_to)
+                and int(transform.img_size) < int(transform.resize_to)):
+            self._crop_off = (int(transform.resize_to)
+                              - int(transform.img_size)) // 2
+        host_cropped = self._crop_off is not None
+
         def encode_clips(params, batch_stats, clips_u8):
             if dp_ > 1:
                 # shard the video batch over dp: each chip decodes-transforms-
@@ -155,10 +172,15 @@ class FeatureCachedEvaluator:
                 clips_u8 = jax.lax.with_sharding_constraint(
                     clips_u8, NamedSharding(mesh_, P("dp")))
             # deterministic eval transform — the rng arg is unused in eval
-            # mode (data/transforms.py:episode_device_transform)
+            # mode (data/transforms.py:episode_device_transform). When the
+            # host already center-cropped, resize_to=img_size makes both the
+            # resize and the crop identities (the remaining work is the
+            # float convert + normalize).
             x = episode_device_transform(
                 clips_u8, jax.random.PRNGKey(0), train=False,
-                img_size=transform.img_size, resize_to=transform.resize_to,
+                img_size=transform.img_size,
+                resize_to=(transform.img_size if host_cropped
+                           else transform.resize_to),
                 flip=transform.flip, normalize=transform.normalize)
             variables = {"params": params}
             if batch_stats:
@@ -221,7 +243,12 @@ class FeatureCachedEvaluator:
         for v in vids:
             paths = self.catalog.records[int(v)].frame_paths
             path_lists.append([paths[int(i)] for i in frame_plans[int(v)]])
-        return decode_path_lists(path_lists, self._pool, self.frame_size)
+        arr = decode_path_lists(path_lists, self._pool, self.frame_size)
+        if self._crop_off is not None:
+            off, size = self._crop_off, int(self.learner.transform.img_size)
+            arr = np.ascontiguousarray(
+                arr[..., off:off + size, off:off + size, :])
+        return arr
 
     def build_table(self, plans: Sequence[EpisodePlan]
                     ) -> tuple:

@@ -22,7 +22,7 @@ from ..data.splits import load_split
 from ..models.backbones.clip import CLIP_ARCHS, CLIPModel, build_clip
 from ..models.fsar import build_model
 from ..models.text_features import (PROMPT_TEMPLATES, SINGLE_TEMPLATE,
-                                    encode_class_text_features)
+                                    encode_class_text_tables)
 from .learner import Learner
 
 # model files named as in the OpenAI release (reference: models/clip_fsar.py:827-837)
@@ -72,10 +72,10 @@ def build_text_tables(cfg, clip_model: CLIPModel, clip_variables
                  else PROMPT_TEMPLATES)
     train_names = list(cfg.TRAIN.CLASS_NAME)
     test_names = list(cfg.TEST.CLASS_NAME)
-    text_train = encode_class_text_features(clip_model, clip_variables,
-                                            train_names, templates)
-    text_test = encode_class_text_features(clip_model, clip_variables,
-                                           test_names, templates)
+    # one padded-batch stream -> ONE text-tower compile for both tables
+    # (models/text_features.py:encode_class_text_tables)
+    text_train, text_test = encode_class_text_tables(
+        clip_model, clip_variables, [train_names, test_names], templates)
     return text_train, text_test
 
 
