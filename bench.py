@@ -478,6 +478,16 @@ def _bench_cached_10k_subprocess(time_left):
         extras["cached_10k_stage_head_eps_per_sec"] = round(
             float(m.group(7)), 1)
         extras["cached_10k_cli_wall_s"] = round(cli_wall, 1)
+        # build-phase decomposition (train/setup.py stage marks): the text
+        # tables dominated the pre-fix build (1189 s of cold per-shape
+        # text-tower compiles, measured round 5 — now one shared shape)
+        for stage, key in [("model init", "build_model_init_s"),
+                           ("CLIP tower init", "build_clip_init_s"),
+                           ("text tables", "build_text_tables_s")]:
+            sm = _re.search(
+                rf"build_learner: {_re.escape(stage)} in ([\d.]+)s", logtxt)
+            if sm:
+                extras[f"cached_10k_{key}"] = float(sm.group(1))
         print(f"[bench] 10k protocol subprocess: measured {measured:.1f}s "
               f"(cli wall {cli_wall:.1f}s)", file=sys.stderr)
     except Exception as e:  # pragma: no cover - depends on chip state

@@ -61,8 +61,14 @@ def encode_class_text_tables(model: CLIPModel, variables,
     tokens = tokenize(prompts, context_length=model.arch.context_length,
                       truncate=True, tokenizer=tokenizer)
 
-    encode = jax.jit(lambda toks: model.apply(
-        variables, toks, method=model.encode_text))
+    # variables ride as jit ARGUMENTS, never a closure: closed-over device
+    # arrays are inlined into the HLO as literal constants, which (a) made
+    # the compile constant-fold 63M text-tower weights (~460 s on this
+    # host, measured round 5), (b) serialized ~700 MB persistent-cache
+    # entries, and (c) keyed the cache on the weight VALUES, so any
+    # checkpoint change recompiled from scratch.
+    encode = jax.jit(lambda v, toks: model.apply(
+        v, toks, method=model.encode_text))
 
     b = min(batch_size, max(8, tokens.shape[0]))
     feats = []
@@ -73,7 +79,7 @@ def encode_class_text_tables(model: CLIPModel, variables,
             chunk = np.concatenate(
                 [chunk, np.zeros((b - n,) + chunk.shape[1:],
                                  chunk.dtype)], axis=0)
-        feats.append(encode(jnp.asarray(chunk))[:n])
+        feats.append(encode(variables, jnp.asarray(chunk))[:n])
     flat = jnp.concatenate(feats, axis=0)
 
     tables: List[jnp.ndarray] = []
