@@ -309,6 +309,14 @@ class FeatureCachedEvaluator:
         rng = jax.random.fold_in(state.rng, 1)
 
         t0 = time.perf_counter()
+        # enqueue every batch before reading ANY result: jax dispatch is
+        # async, so the device (and the tunnel's request pipeline) works
+        # through all batches back-to-back while the host stages the next
+        # index arrays. Syncing per batch instead makes the stage
+        # latency-bound — 40 serial round-trips collapsed 8.2 s -> 170.8 s
+        # when the tunnel's RTT (not its bandwidth) degraded, measured on
+        # back-to-back 10k runs. In-flight outputs are [E] scalars each.
+        pending = []
         for start in range(0, n_episodes, E):
             chunk = plans[start:start + E]
             n = len(chunk)
@@ -327,7 +335,8 @@ class FeatureCachedEvaluator:
                 stack(lambda p: p.real_target_labels),
                 stack(lambda p: p.target_labels),
                 state.text_train, state.text_test, rng)
-            loss, acc = m
+            pending.append((m, n))
+        for (loss, acc), n in pending:
             losses.extend(np.asarray(loss)[:n].tolist())
             accs.extend(np.asarray(acc)[:n].tolist())
         t_head = time.perf_counter() - t0
