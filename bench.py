@@ -430,10 +430,14 @@ def _bench_cached_10k_subprocess(time_left):
         ck = os.path.join(root, "ck10k")
         shutil.rmtree(ck, ignore_errors=True)
         n_eps = int(os.environ.get("BENCH_10K_EPISODES", "10000"))
-        # model build through a cold tunnel can alone cost ~500 s (the
-        # fp32 param H2D rides a 1.6-47 MB/s link); bound the stage so a
-        # sick tunnel cannot eat the whole bench budget
-        budget = time_left() - 350.0
+        # a healthy run measures ~230-300 s CLI wall; a run that straddles
+        # a tunnel-outage window stalls mid-protocol and completes only on
+        # recovery (measured 741 s — which then starved the main stages'
+        # own outage-retry budget and killed the whole record). Reserve
+        # 650 s for the main stages + retry machinery; a sub-run that
+        # cannot finish inside the remainder is a degraded-tunnel datum,
+        # not a protocol number.
+        budget = time_left() - 650.0
         timeout = min(900.0, max(300.0, budget))
         cmd = [sys.executable, "-m", "clipspm_tpu.cli.run",
                "--cfg", os.path.join(root, "tiny.yaml"),
@@ -490,10 +494,29 @@ def _bench_cached_10k_subprocess(time_left):
                 extras[f"cached_10k_{key}"] = float(sm.group(1))
         print(f"[bench] 10k protocol subprocess: measured {measured:.1f}s "
               f"(cli wall {cli_wall:.1f}s)", file=sys.stderr)
+        try:  # keep the last good measurement for outage windows
+            with open(os.path.join(root, "last_result.json"), "w") as f:
+                json.dump(extras, f)
+        except OSError:
+            pass
     except Exception as e:  # pragma: no cover - depends on chip state
         extras["cached_10k_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         print(f"[bench] 10k protocol subprocess failed: "
               f"{extras['cached_10k_bench_error']}", file=sys.stderr)
+        try:
+            # a failed attempt usually means the sub-run straddled a
+            # tunnel-outage window; surface the round's PREVIOUS successful
+            # measurement, explicitly labeled as such, so the record keeps
+            # a measured protocol number next to the failure
+            with open(os.path.join(root, "last_result.json")) as f:
+                prev_ok = json.load(f)
+            for k, v in prev_ok.items():
+                extras[k.replace("cached_10k_", "cached_10k_prev_", 1)] = v
+            extras["cached_10k_prev_note"] = (
+                "previous successful measurement this round; the current "
+                "attempt failed (see cached_10k_bench_error)")
+        except Exception:
+            pass
     sys.stderr.flush()
     os.environ["BENCH_10K_RESULT"] = json.dumps(extras)
     return extras
@@ -685,7 +708,10 @@ def main():
         _emit_error_record(e, "TPU backend unavailable for the whole bench "
                               "window (bounded retry exhausted); no "
                               "throughput measured")
-        return
+        # skip interpreter teardown: the wedged init thread's XLA client
+        # aborts in its C++ destructor (observed rc=134 AFTER the terminal
+        # record printed); the record is flushed, exit with a clean rc=1
+        os._exit(1)
     if n_attempts > 1:
         print(f"[bench] backend up after {n_attempts} attempts",
               file=sys.stderr)
