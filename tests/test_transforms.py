@@ -123,3 +123,24 @@ def test_blk_temporal_excitation():
     assert y.shape == x.shape
     assert np.isfinite(y).all()
     assert not np.allclose(y, np.asarray(x))
+
+
+@pytest.mark.parametrize("resize_to,img", [(256, 224), (96, 84)])
+def test_host_center_crop_is_byte_identical(resize_to, img):
+    """The feature cache's host-side center crop (feature_cache.py:148-163)
+    claims byte-identity: for square frames at exactly ``resize_to``, a host
+    numpy slice at offset (resize_to-img)//2 followed by the device transform
+    with resize_to=img equals the full device transform. Pin that claim at
+    both shipped geometries (224/256 and the 84/96 low-res family)."""
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(2, 3, resize_to, resize_to, 3),
+                      dtype=np.uint8)
+    full = episode_device_transform(
+        jnp.asarray(u8), jax.random.PRNGKey(0), train=False,
+        img_size=img, resize_to=resize_to, normalize=True)
+    off = (resize_to - img) // 2
+    pre = np.ascontiguousarray(u8[..., off:off + img, off:off + img, :])
+    cropped = episode_device_transform(
+        jnp.asarray(pre), jax.random.PRNGKey(0), train=False,
+        img_size=img, resize_to=img, normalize=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cropped))
