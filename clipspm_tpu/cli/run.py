@@ -89,7 +89,23 @@ def main(argv=None):
     eval_batch = max(1, int(cfg.TEST.get("EVAL_BATCH", 1) or 1))
     if cfg.TEST.ONLY_TEST:
         log("Conduct Testing:")
-        if manager.exists("best"):
+        test_model_path = str(cfg.TEST.get("TEST_MODEL_PATH", "") or "")
+        if test_model_path:
+            # explicit checkpoint selection (reference: utils/utils.py:75-77
+            # hard-exits when TEST.TEST_MODEL_PATH is missing, then
+            # run/main_run.py:415-418 loads exactly that path) — a set-but-
+            # unloadable path must never silently fall through to 'best'
+            # or the untrained model
+            if not os.path.exists(test_model_path):
+                raise FileNotFoundError(
+                    f"TEST.TEST_MODEL_PATH={test_model_path!r} does not "
+                    "exist — can't test (reference parity: "
+                    "utils/utils.py:75-77)")
+            payload = manager.restore_path(test_model_path, learner.state)
+            learner.state = payload["state"]
+            log(f"Loaded checkpoint from {test_model_path} ==> "
+                f"iter: [{int(payload['meta']['iteration'])}]")
+        elif manager.exists("best"):
             learner.state = manager.restore("best", learner.state)["state"]
         else:
             # loud, not silent: an accuracy line from an untrained head is

@@ -45,7 +45,22 @@ class CheckpointManager:
 
     def restore(self, tag: str, template_state: TrainState
                 ) -> Dict[str, Any]:
-        path = self._path(tag)
+        return self.restore_path(self._path(tag), template_state)
+
+    def restore_path(self, path: str, template_state: TrainState
+                     ) -> Dict[str, Any]:
+        """Restore from an explicit checkpoint directory (the
+        ``TEST.TEST_MODEL_PATH`` surface — reference: utils/utils.py:113 +
+        run/main_run.py:415-418 load an arbitrary path in ONLY_TEST mode)."""
+        path = os.path.abspath(path)
+        if os.path.isfile(path):
+            raise ValueError(
+                f"checkpoint path {path} is a FILE — this framework saves "
+                "orbax checkpoint DIRECTORIES (checkpoint_<tag>/). A "
+                "reference torch .pt head checkpoint is not loadable here "
+                "(different parameter layout); pretrained CLIP backbone "
+                ".pt weights import via models/backbones/torch_import.py "
+                "at build time instead.")
         template = {
             "state": template_state,
             "meta": {"iteration": np.asarray(0), "acc": np.asarray(0.0)},
