@@ -453,8 +453,28 @@ def _bench_cached_10k_subprocess(time_left):
                "DATA.IMG_SIZE=224", "DATA.SEQ_LEN=8",
                "DATA.NUM_WORKERS=8"]
         t0 = time.perf_counter()
-        r = subprocess.run(cmd, cwd=here, timeout=timeout,
-                           capture_output=True, text=True)
+        try:
+            r = subprocess.run(cmd, cwd=here, timeout=timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            # a cold compile cache (fresh metal after a live migration)
+            # can eat the whole window in compiles — but every jit that
+            # FINISHED persisted its cache entry, so one immediate retry
+            # skips straight past them. Bounded: only when the remaining
+            # budget still covers a warm protocol run (~150 s CLI wall)
+            # plus a reduced main-stage reserve; a second timeout is a
+            # tunnel-outage datum and propagates as before.
+            shutil.rmtree(ck, ignore_errors=True)
+            retry = time_left() - 500.0
+            if retry < 150.0:
+                raise
+            extras["cached_10k_cold_timeout_s"] = round(timeout, 1)
+            print(f"[bench] 10k subprocess timed out after {timeout:.0f}s "
+                  f"(cold cache?); one warm retry with {retry:.0f}s",
+                  file=sys.stderr)
+            t0 = time.perf_counter()
+            r = subprocess.run(cmd, cwd=here, timeout=retry,
+                               capture_output=True, text=True)
         cli_wall = time.perf_counter() - t0
         if r.returncode != 0:
             raise RuntimeError(
