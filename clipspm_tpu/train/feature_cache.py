@@ -274,6 +274,14 @@ class FeatureCachedEvaluator:
         rows: List[jnp.ndarray] = []
         stager = _cf.ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="clipspm-fc")
+        # stage telemetry: the encode loop is where a degraded link stalls
+        # (H2D of ~1.2 GB of frames) and where the first call pays the jit
+        # compile — log the first batch and then every ~25%, so a wedged
+        # run's log shows WHERE it stopped instead of ending at
+        # "Conduct Testing:" (measured round 5: two tunnel-outage 10k
+        # sub-runs were indistinguishable from compile stalls without this)
+        t_enc0 = time.perf_counter()
+        log_every = max(1, len(batches) // 4)
         try:
             fut = stager.submit(_stage, batches[0])
             for i, batch in enumerate(batches):
@@ -283,6 +291,13 @@ class FeatureCachedEvaluator:
                 feats = self._encode_clips(state.params, state.batch_stats,
                                            clips)
                 rows.append(feats[: len(batch)])
+                if i == 0 or (i + 1) % log_every == 0 \
+                        or i + 1 == len(batches):
+                    jax.block_until_ready(feats)
+                    self.log(f"  table encode: batch {i + 1}/{len(batches)}"
+                             f" ({time.perf_counter() - t_enc0:.1f}s"
+                             + (", incl. first-call compile)" if i == 0
+                                else ")"))
         finally:
             stager.shutdown(wait=False, cancel_futures=True)
         table = jnp.concatenate(rows, axis=0)
@@ -336,9 +351,13 @@ class FeatureCachedEvaluator:
                 stack(lambda p: p.target_labels),
                 state.text_train, state.text_test, rng)
             pending.append((m, n))
-        for (loss, acc), n in pending:
+        fetch_every = max(1, len(pending) // 4)
+        for j, ((loss, acc), n) in enumerate(pending):
             losses.extend(np.asarray(loss)[:n].tolist())
             accs.extend(np.asarray(acc)[:n].tolist())
+            if (j + 1) % fetch_every == 0 or j + 1 == len(pending):
+                self.log(f"  head fetch: {j + 1}/{len(pending)} batches "
+                         f"({time.perf_counter() - t0:.1f}s)")
         t_head = time.perf_counter() - t0
 
         self.log(f"feature-cached eval: {n_episodes} episodes over "
